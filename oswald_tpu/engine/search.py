@@ -1,0 +1,160 @@
+"""Single-chip database search pipeline.
+
+Replaces the reference's search drivers (fpga_search,
+/root/reference/host/src/FPGAsearch.c:4-374, and hybrid_search_*,
+HybridSearch.c:4-2529).  The reference streams dynamically-sized chunks to
+devices and rescues overflowed lanes on the host; here every length bin is a
+fixed-shape array that streams through the Pallas kernel as a
+`lax.scan` over column chunks, so the whole per-(bin, query-shape) search is
+one compiled XLA program.  There is no overflow rescue (int32 end to end)
+and no calibration phase (a single device type; multi-chip balancing is
+static residue-count sharding in oswald_tpu.dist).
+"""
+
+import dataclasses
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from oswald_tpu.alphabet import DUMMY
+from oswald_tpu.submat import get_submat
+from oswald_tpu.io.db import PackedDB, SUBLANES, LANES, GROUP_LANES
+from oswald_tpu.kernels import sw_chunk, build_profile, CHUNK_WIDTH
+
+
+@dataclasses.dataclass
+class SearchConfig:
+    matrix: str = "blosum62"
+    open_gap: int = 10          # reference defaults (arguments.h:13-14)
+    extend_gap: int = 2
+    top: int = 10
+    u_rows: int = 8             # query rows register-blocked per kernel step
+    query_pad_quantum: int = 64   # pad m to this to limit compile variants
+    interpret: bool | None = None  # None = auto (True off-TPU)
+
+    def resolved_interpret(self) -> bool:
+        if self.interpret is None:
+            return jax.default_backend() != "tpu"
+        return self.interpret
+
+
+@dataclasses.dataclass
+class SearchResult:
+    query_title: str
+    query_length: int
+    scores: np.ndarray        # int32[k], descending
+    seq_ids: np.ndarray       # int32[k], sorted-order ids into db.titles
+    titles: list              # top-k subject titles
+    elapsed: float            # seconds (this query's device time)
+
+    @property
+    def gcups(self):
+        return None           # filled by the engine's report
+
+
+@functools.partial(jax.jit, static_argnames=("u_rows", "interpret"))
+def _search_bin(q_pad, gaps, prof_stack, u_rows, interpret):
+    """Scan all column chunks of one bin; returns [G, 8, 128] scores."""
+    C, G = prof_stack.shape[0], prof_stack.shape[1]
+    m_pad = q_pad.shape[0]
+    colH = jnp.zeros((G, m_pad, SUBLANES, LANES), jnp.int32)
+    colE = jnp.zeros_like(colH)
+    scores = jnp.zeros((G, SUBLANES, LANES), jnp.int32)
+
+    def step(carry, prof_c):
+        colH, colE, scores = carry
+        colHd = jnp.concatenate(
+            [jnp.zeros((G, 1, SUBLANES, LANES), jnp.int32), colH[:, :-1]],
+            axis=1)
+        scores, colH, colE = sw_chunk(q_pad, gaps, prof_c, colH, colHd,
+                                      colE, scores, u_rows=u_rows,
+                                      interpret=interpret)
+        return (colH, colE, scores), None
+
+    (colH, colE, scores), _ = jax.lax.scan(step, (colH, colE, scores),
+                                           prof_stack)
+    return scores
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk(scores_flat, valid, k):
+    masked = jnp.where(valid, scores_flat, -1)
+    return jax.lax.top_k(masked, k)
+
+
+class SearchEngine:
+    """Searches one packed database with a fixed matrix/gap configuration.
+
+    Score profiles (24x the database residues, int8) are precomputed on
+    device once and reused across queries — the reference rebuilds its
+    SSSE3 profiles per chunk per search (HybridSearch.c:141-173); on TPU the
+    rebuild would cost HBM bandwidth on every query instead of one gather at
+    engine construction.
+    """
+
+    def __init__(self, db: PackedDB, config: SearchConfig = None):
+        self.db = db
+        self.config = config or SearchConfig()
+        self.submat = get_submat(self.config.matrix)
+        self._interpret = self.config.resolved_interpret()
+        self.gaps = jnp.asarray(
+            [self.config.open_gap, self.config.extend_gap], jnp.int32)
+
+        # [C, G, 24, POS, 128] int8 per bin, on device
+        self.prof_stacks = {}
+        for L in db.bin_lengths:
+            seq = jnp.asarray(np.ascontiguousarray(db.bins[L]["seq"]))
+            C = L // CHUNK_WIDTH
+            G = seq.shape[0]
+            chunks = seq.reshape(G, C, CHUNK_WIDTH, SUBLANES, LANES)
+            profs = []
+            for c in range(C):
+                profs.append(build_profile(chunks[:, c], self.submat))
+            self.prof_stacks[L] = jnp.stack(profs)
+
+        # flat validity mask in slot order (bins ascending = sorted order)
+        masks = [np.asarray(db.bins[L]["id"]).reshape(-1) >= 0
+                 for L in db.bin_lengths]
+        self.valid = jnp.asarray(np.concatenate(masks)) if masks else \
+            jnp.zeros((0,), bool)
+        self.n_slots = int(self.valid.shape[0])
+
+    def _pad_query(self, query):
+        q = np.asarray(query, dtype=np.int32)
+        if q.size == 0:
+            q = np.full(1, DUMMY, np.int32)
+        quantum = max(self.config.query_pad_quantum, self.config.u_rows)
+        m_pad = -(-q.size // quantum) * quantum
+        return np.concatenate([q, np.full(m_pad - q.size, DUMMY, np.int32)])
+
+    def score_all(self, query) -> jnp.ndarray:
+        """Scores for every database sequence, in sorted-id slot order."""
+        q_pad = jnp.asarray(self._pad_query(query))
+        outs = []
+        for L in self.db.bin_lengths:
+            s = _search_bin(q_pad, self.gaps, self.prof_stacks[L],
+                            self.config.u_rows, self._interpret)
+            outs.append(s.reshape(-1))
+        return jnp.concatenate(outs) if outs else jnp.zeros((0,), jnp.int32)
+
+    def search(self, query, query_title: str = "query") -> SearchResult:
+        t0 = time.perf_counter()
+        scores = self.score_all(query)
+        k = min(self.config.top, self.db.n_seqs)
+        top_scores, top_ids = _topk(scores, self.valid, k)
+        top_scores = np.asarray(top_scores)
+        top_ids = np.asarray(top_ids)
+        elapsed = time.perf_counter() - t0
+        titles = [self.db.title_of(int(i)) for i in top_ids]
+        return SearchResult(query_title=query_title,
+                            query_length=int(np.asarray(query).size),
+                            scores=top_scores, seq_ids=top_ids,
+                            titles=titles, elapsed=elapsed)
+
+    def search_many(self, queries, titles=None):
+        titles = titles or [f"query{i}" for i in range(len(queries))]
+        return [self.search(q, t) for q, t in zip(queries, titles)]

@@ -1,0 +1,11 @@
+from oswald_tpu.io.fasta import parse_fasta, write_fasta
+from oswald_tpu.io.db import (
+    PackedDB, pack_sequences, preprocess_db, load_db, load_queries,
+    GROUP_LANES, SUBLANES, LANES, LENGTH_QUANTUM,
+)
+
+__all__ = [
+    "parse_fasta", "write_fasta",
+    "PackedDB", "pack_sequences", "preprocess_db", "load_db", "load_queries",
+    "GROUP_LANES", "SUBLANES", "LANES", "LENGTH_QUANTUM",
+]

@@ -1,0 +1,193 @@
+"""Database preprocessing: length-binned, fixed-shape lane packing.
+
+TPU-first replacement of the reference's preprocess + chunk assembly
+(/root/reference/host/src/sequences.c: preprocess_db :4-220,
+assemble_multiple_chunks_db :393-623).  Differences by design:
+
+- Sequences are length-sorted ascending (same as the reference) and packed
+  into *groups of 1024 lanes* shaped [8, 128] — the VPU sublane x lane grid —
+  instead of 16/32-wide SIMD vector groups.  Lane l of group g holds one
+  whole database sequence; padding lanes/positions hold the dummy residue,
+  which every matrix scores 0, so they can never change a score.
+- Group lengths are rounded up to LENGTH_QUANTUM (64) and groups with equal
+  padded length are stacked into a *bin*: a single [G, L, 8, 128] int8 array.
+  Bins give XLA a small, static set of shapes (replacing the reference's
+  dynamic 128 MiB chunking) and stream through the Pallas kernel in
+  column-chunks of <= 256.
+- The persisted artifact is a directory of .npy arrays + titles + meta.json
+  (replacing .desc/.info/.seq).  .npy arrays memory-map, so a multi-host pod
+  can load per-host group slices without reading the whole database.
+"""
+
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+from oswald_tpu.alphabet import DUMMY
+from oswald_tpu.io.fasta import parse_fasta
+
+SUBLANES = 8
+LANES = 128
+GROUP_LANES = SUBLANES * LANES          # 1024 sequences per group
+LENGTH_QUANTUM = 128                    # bin granularity = kernel chunk width
+
+FORMAT_VERSION = 1
+
+
+@dataclasses.dataclass
+class PackedDB:
+    """In-memory packed database.
+
+    bins: {padded_len L: dict(seq=[G,L,8,128] int8, len=[G,8,128] int32,
+                              id=[G,8,128] int32)}
+          `id` indexes the length-sorted order; -1 marks padding lanes.
+    lengths: int64[n_seqs]   true lengths in sorted order
+    titles:  list[str]       titles in sorted order
+    """
+    bins: dict
+    lengths: np.ndarray
+    titles: list
+    n_seqs: int
+    n_residues: int
+
+    @property
+    def bin_lengths(self):
+        return sorted(self.bins.keys())
+
+    def title_of(self, sorted_id: int) -> str:
+        return self.titles[sorted_id]
+
+
+def _round_up(x: int, q: int) -> int:
+    return -(-x // q) * q
+
+
+def pack_sequences(seqs_flat, lengths, titles=None) -> PackedDB:
+    """Pack encoded sequences into length-binned lane groups.
+
+    seqs_flat: int8[D] concatenated encoded residues
+    lengths:   int[n]  per-sequence lengths (order = record order)
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(lengths)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    order = np.argsort(lengths, kind="stable")          # ascending by length
+    sorted_lengths = lengths[order]
+    sorted_titles = [titles[i] for i in order] if titles is not None else \
+        [str(i) for i in order]
+
+    bins = {}
+    n_groups = -(-n // GROUP_LANES) if n else 0
+    for g in range(n_groups):
+        lo, hi = g * GROUP_LANES, min((g + 1) * GROUP_LANES, n)
+        glens = sorted_lengths[lo:hi]
+        L = _round_up(max(int(glens.max()), 1), LENGTH_QUANTUM)
+        seq = np.full((L, GROUP_LANES), DUMMY, dtype=np.int8)
+        lens = np.zeros(GROUP_LANES, dtype=np.int32)
+        ids = np.full(GROUP_LANES, -1, dtype=np.int32)
+        for slot, k in enumerate(range(lo, hi)):
+            src = order[k]
+            l = int(lengths[src])
+            seq[:l, slot] = seqs_flat[offsets[src]:offsets[src] + l]
+            lens[slot] = l
+            ids[slot] = k                                # sorted-order index
+        entry = bins.setdefault(L, {"seq": [], "len": [], "id": []})
+        entry["seq"].append(seq.reshape(L, SUBLANES, LANES))
+        entry["len"].append(lens.reshape(SUBLANES, LANES))
+        entry["id"].append(ids.reshape(SUBLANES, LANES))
+
+    out = {}
+    for L, e in bins.items():
+        out[L] = {
+            "seq": np.stack(e["seq"]),                   # [G, L, 8, 128]
+            "len": np.stack(e["len"]),                   # [G, 8, 128]
+            "id": np.stack(e["id"]),                     # [G, 8, 128]
+        }
+    return PackedDB(bins=out, lengths=sorted_lengths, titles=sorted_titles,
+                    n_seqs=n, n_residues=int(lengths.sum()))
+
+
+def unpack_group(db: PackedDB, L: int, g: int):
+    """Decode one group back to (ids, lengths, sequences) — round-trip tests."""
+    b = db.bins[L]
+    seq = b["seq"][g].reshape(L, GROUP_LANES)
+    lens = b["len"][g].reshape(GROUP_LANES)
+    ids = b["id"][g].reshape(GROUP_LANES)
+    out = []
+    for slot in range(GROUP_LANES):
+        if ids[slot] < 0:
+            continue
+        out.append((int(ids[slot]), int(lens[slot]),
+                    seq[:lens[slot], slot].copy()))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# persisted artifact
+# ---------------------------------------------------------------------------
+
+def preprocess_db(fasta_path: str, out_path: str, verbose: bool = True):
+    """FASTA -> packed on-disk database (directory `{out_path}.oswt/`)."""
+    t0 = time.perf_counter()
+    titles, seqs_flat, lengths = parse_fasta(fasta_path)
+    db = pack_sequences(seqs_flat, lengths, titles)
+    save_db(db, out_path)
+    if verbose:
+        dt = time.perf_counter() - t0
+        print(f"oswald-tpu preprocess: {db.n_seqs} sequences "
+              f"({db.n_residues} residues) -> {out_path}.oswt "
+              f"[bins: {', '.join(map(str, db.bin_lengths))}] "
+              f"in {dt:.2f}s")
+    return db
+
+
+def save_db(db: PackedDB, out_path: str):
+    d = out_path + ".oswt"
+    os.makedirs(d, exist_ok=True)
+    for L, e in db.bins.items():
+        for k in ("seq", "len", "id"):
+            np.save(os.path.join(d, f"bin{L}_{k}.npy"), e[k])
+    np.save(os.path.join(d, "lengths.npy"), db.lengths)
+    with open(os.path.join(d, "titles.txt"), "w") as f:
+        f.write("\n".join(db.titles))
+    meta = {"version": FORMAT_VERSION, "n_seqs": db.n_seqs,
+            "n_residues": db.n_residues, "bins": sorted(db.bins.keys()),
+            "group_lanes": GROUP_LANES}
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_db(path: str, mmap: bool = True) -> PackedDB:
+    """Load a packed DB; arrays are memory-mapped by default so multi-host
+    shards can slice groups without reading the whole file."""
+    d = path if path.endswith(".oswt") else path + ".oswt"
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    if meta["version"] != FORMAT_VERSION:
+        raise ValueError(f"unsupported db format version {meta['version']}")
+    mm = "r" if mmap else None
+    bins = {}
+    for L in meta["bins"]:
+        bins[L] = {k: np.load(os.path.join(d, f"bin{L}_{k}.npy"), mmap_mode=mm)
+                   for k in ("seq", "len", "id")}
+    lengths = np.load(os.path.join(d, "lengths.npy"))
+    with open(os.path.join(d, "titles.txt")) as f:
+        titles = f.read().split("\n") if meta["n_seqs"] else []
+    return PackedDB(bins=bins, lengths=lengths, titles=titles,
+                    n_seqs=meta["n_seqs"], n_residues=meta["n_residues"])
+
+
+def load_queries(fasta_path: str):
+    """Load query sequences, length-sorted ascending like the reference
+    (/root/reference/host/src/sequences.c:223-391).
+
+    Returns (titles, seqs) where seqs is a list of int8 arrays.
+    """
+    titles, flat, lengths = parse_fasta(fasta_path)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    order = np.argsort(lengths, kind="stable")
+    seqs = [flat[offsets[i]:offsets[i + 1]] for i in order]
+    return [titles[i] for i in order], seqs

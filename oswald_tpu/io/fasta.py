@@ -1,0 +1,102 @@
+"""FASTA parsing, vectorised with numpy.
+
+Replaces the reference's three-pass scanf/fgetc FASTA scan
+(/root/reference/host/src/sequences.c:28-119) with a single-pass,
+whole-buffer vectorised parse: one `np.frombuffer` over the file, header and
+residue byte masks computed with array ops, per-record residue extents via
+`bincount` — no Python-level per-residue loop.  A native C++ parser
+(oswald_tpu.io.native) can substitute for multi-GB databases; this module is
+the portable implementation and the correctness reference for it.
+"""
+
+import numpy as np
+
+from oswald_tpu.alphabet import encode, decode, _LUT
+
+_NL = ord("\n")
+_GT = ord(">")
+
+
+def parse_fasta_bytes(data: bytes):
+    """Parse FASTA content. Returns (titles, seqs, lengths).
+
+    titles:  list[str]          header lines without '>' (full line, like the
+                                reference's .desc titles)
+    seqs:    int8 ndarray       all residues encoded 0..23, concatenated
+    lengths: int64 ndarray      per-record residue counts (offsets = cumsum)
+
+    Whitespace inside sequence lines ('\\r', ' ', '\\t') is dropped; any other
+    byte is encoded (unknown residues become the dummy code).
+    """
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.size == 0:
+        return [], np.zeros(0, np.int8), np.zeros(0, np.int64)
+    if buf[-1] != _NL:
+        buf = np.concatenate([buf, np.array([_NL], np.uint8)])
+
+    nl_pos = np.flatnonzero(buf == _NL)
+    line_starts = np.concatenate([[0], nl_pos[:-1] + 1]).astype(np.int64)
+    line_ends = nl_pos.astype(np.int64)                  # exclusive of '\n'
+    is_header = buf[line_starts] == _GT
+    n_rec = int(is_header.sum())
+    if n_rec == 0:
+        raise ValueError("not a FASTA file: no '>' header lines found")
+
+    # record id of every line: lines before the first header belong to no
+    # record and are rejected
+    rec_of_line = np.cumsum(is_header) - 1
+    if rec_of_line[0] < 0:
+        raise ValueError("FASTA content before first '>' header")
+
+    titles = []
+    hdr_idx = np.flatnonzero(is_header)
+    for h in hdr_idx:
+        s, e = line_starts[h] + 1, line_ends[h]
+        t = bytes(buf[s:e])
+        titles.append(t.rstrip(b"\r").decode("utf-8", errors="replace"))
+
+    # residue bytes: all bytes of non-header lines, minus whitespace
+    seq_line = ~is_header
+    line_lens = line_ends - line_starts
+    # per-byte record id for sequence-line bytes
+    sel_lines = np.flatnonzero(seq_line)
+    if sel_lines.size:
+        starts = line_starts[sel_lines]
+        lens = line_lens[sel_lines]
+        # positions of all sequence-line bytes
+        byte_pos = np.repeat(starts, lens) + _ragged_arange(lens)
+        byte_rec = np.repeat(rec_of_line[sel_lines], lens)
+        raw = buf[byte_pos]
+        keep = (raw != 13) & (raw != 32) & (raw != 9)    # \r, space, tab
+        raw = raw[keep]
+        byte_rec = byte_rec[keep]
+        seqs = _LUT[raw]
+        lengths = np.bincount(byte_rec, minlength=n_rec).astype(np.int64)
+    else:
+        seqs = np.zeros(0, np.int8)
+        lengths = np.zeros(n_rec, np.int64)
+    return titles, seqs, lengths
+
+
+def _ragged_arange(lens):
+    """[0..l0), [0..l1), ... concatenated."""
+    total = int(lens.sum())
+    out = np.arange(total, dtype=np.int64)
+    offs = np.repeat(np.cumsum(lens) - lens, lens)
+    return out - offs
+
+
+def parse_fasta(path: str):
+    """Parse a FASTA file; see parse_fasta_bytes."""
+    with open(path, "rb") as f:
+        return parse_fasta_bytes(f.read())
+
+
+def write_fasta(path: str, titles, seqs, width: int = 60):
+    """Write encoded sequences back to FASTA (testing/round-trip helper)."""
+    with open(path, "w") as f:
+        for t, s in zip(titles, seqs):
+            f.write(f">{t}\n")
+            txt = decode(np.asarray(s))
+            for i in range(0, max(len(txt), 1), width):
+                f.write(txt[i:i + width] + "\n")

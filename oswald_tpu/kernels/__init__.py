@@ -1,0 +1,5 @@
+from oswald_tpu.kernels.sw_lanes import (
+    sw_chunk, build_profile, CHUNK_WIDTH, POS_PER_CHUNK,
+)
+
+__all__ = ["sw_chunk", "build_profile", "CHUNK_WIDTH", "POS_PER_CHUNK"]

@@ -1,0 +1,96 @@
+"""End-to-end engine parity: Pallas kernel scores vs oracle, top-k ranking."""
+
+import numpy as np
+import pytest
+
+from oswald_tpu.alphabet import DUMMY
+from oswald_tpu.submat import get_submat
+from oswald_tpu.core import sw_score_diag_batch, sw_score_numpy
+from oswald_tpu.io import pack_sequences
+from oswald_tpu.engine import SearchEngine, SearchConfig
+
+from conftest import random_protein
+
+
+def _make_db(rng, n, lmax):
+    lengths = rng.integers(1, lmax, size=n)
+    seqs = [random_protein(rng, int(l)) for l in lengths]
+    flat = np.concatenate(seqs)
+    titles = [f"seq{i}" for i in range(n)]
+    return pack_sequences(flat, lengths, titles), seqs, lengths
+
+
+def _oracle_scores(query, db, seqs, lengths, submat, og, eg):
+    """Oracle scores in the db's sorted order."""
+    order = np.argsort(lengths, kind="stable")
+    nmax = int(lengths.max())
+    bs = np.full((len(seqs), nmax), DUMMY, np.int32)
+    for i, src in enumerate(order):
+        bs[i, : lengths[src]] = seqs[src]
+    ns = lengths[order].astype(np.int32)
+    return np.asarray(sw_score_diag_batch(
+        np.asarray(query, np.int32), bs, ns, submat, og, eg))
+
+
+@pytest.mark.parametrize("matrix,og,eg", [
+    ("blosum62", 10, 2),
+    ("pam250", 5, 1),
+])
+def test_engine_full_score_parity(rng, matrix, og, eg):
+    db, seqs, lengths = _make_db(rng, 2100, 300)   # 3 groups, >=2 bins
+    cfg = SearchConfig(matrix=matrix, open_gap=og, extend_gap=eg)
+    eng = SearchEngine(db, cfg)
+    q = random_protein(rng, 61)
+    got = np.asarray(eng.score_all(q))[np.asarray(eng.valid)]
+    want = _oracle_scores(q, db, seqs, lengths, get_submat(matrix), og, eg)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_long_query_multichunk(rng):
+    """Query longer than one row-block row count; db longer than one chunk."""
+    db, seqs, lengths = _make_db(rng, 1100, 700)
+    eng = SearchEngine(db, SearchConfig())
+    q = random_protein(rng, 333)
+    got = np.asarray(eng.score_all(q))[np.asarray(eng.valid)]
+    want = _oracle_scores(q, db, seqs, lengths, get_submat("blosum62"), 10, 2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_topk_ranking(rng):
+    db, seqs, lengths = _make_db(rng, 1500, 200)
+    eng = SearchEngine(db, SearchConfig(top=25))
+    q = random_protein(rng, 40)
+    res = eng.search(q, "testq")
+    want = _oracle_scores(q, db, seqs, lengths, get_submat("blosum62"), 10, 2)
+    # reference ordering: descending score, ties by ascending sorted id
+    # (stable mergesort over the sorted-order score array, utils.c:3-86)
+    order = np.lexsort((np.arange(len(want)), -want))
+    np.testing.assert_array_equal(res.seq_ids, order[:25])
+    np.testing.assert_array_equal(res.scores, want[order[:25]])
+    assert res.titles == [db.title_of(int(i)) for i in order[:25]]
+    # scores descending
+    assert (np.diff(res.scores) <= 0).all()
+
+
+def test_engine_identical_sequence_found(rng):
+    """The query itself planted in the db must rank first with its self-score."""
+    db_n = 1200
+    lengths = rng.integers(20, 120, size=db_n)
+    seqs = [random_protein(rng, int(l)) for l in lengths]
+    q = seqs[371]
+    db = pack_sequences(np.concatenate(seqs), lengths,
+                        [f"s{i}" for i in range(db_n)])
+    eng = SearchEngine(db, SearchConfig(top=1))
+    res = eng.search(q)
+    b62 = get_submat("blosum62")
+    self_score = sum(int(b62[c, c]) for c in q)
+    assert res.scores[0] == self_score
+    assert res.titles[0] == "s371" or \
+        int(res.scores[0]) >= self_score  # another seq may tie
+
+
+def test_engine_empty_query(rng):
+    db, _, _ = _make_db(rng, 100, 50)
+    eng = SearchEngine(db, SearchConfig(top=5))
+    res = eng.search(np.zeros(0, np.int8))
+    assert (res.scores == 0).all()

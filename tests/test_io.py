@@ -1,0 +1,136 @@
+"""FASTA parse + packing round-trip tests."""
+
+import numpy as np
+import pytest
+
+from oswald_tpu.alphabet import encode, decode, DUMMY
+from oswald_tpu.io import (parse_fasta, write_fasta, pack_sequences,
+                           preprocess_db, load_db, load_queries,
+                           GROUP_LANES)
+from oswald_tpu.io.fasta import parse_fasta_bytes
+from oswald_tpu.io.db import unpack_group
+
+from conftest import random_protein
+
+
+FASTA = b""">sp|P1|first protein
+MKTAYIAK
+QRQISFVK
+>sp|P2|second
+ACDE
+>sp|P3|with whitespace
+MK TA\r
+YI
+"""
+
+
+def test_parse_fasta_basic():
+    titles, flat, lengths = parse_fasta_bytes(FASTA)
+    assert titles == ["sp|P1|first protein", "sp|P2|second",
+                      "sp|P3|with whitespace"]
+    np.testing.assert_array_equal(lengths, [16, 4, 6])
+    assert decode(flat[:16]) == "MKTAYIAKQRQISFVK"
+    assert decode(flat[16:20]) == "ACDE"
+    assert decode(flat[20:]) == "MKTAYI"
+
+
+def test_parse_fasta_no_trailing_newline_and_crlf():
+    titles, flat, lengths = parse_fasta_bytes(b">a\r\nMK\r\nTA")
+    assert titles == ["a"]
+    np.testing.assert_array_equal(lengths, [4])
+    assert decode(flat) == "MKTA"
+
+
+def test_parse_fasta_errors():
+    with pytest.raises(ValueError):
+        parse_fasta_bytes(b"MKTA\n>late header\nACDE\n")
+    titles, flat, lengths = parse_fasta_bytes(b"")
+    assert titles == [] and len(flat) == 0
+
+
+def test_fasta_write_parse_roundtrip(tmp_path, rng):
+    titles = [f"seq {i}" for i in range(7)]
+    seqs = [random_protein(rng, int(l)) for l in rng.integers(1, 200, 7)]
+    p = str(tmp_path / "rt.fasta")
+    write_fasta(p, titles, seqs)
+    t2, flat, lengths = parse_fasta(p)
+    assert t2 == titles
+    off = 0
+    for s, l in zip(seqs, lengths):
+        np.testing.assert_array_equal(flat[off:off + l], s)
+        off += l
+
+
+def _random_db(rng, n, lmax=300):
+    lengths = rng.integers(1, lmax, size=n)
+    seqs = [random_protein(rng, int(l)) for l in lengths]
+    flat = np.concatenate(seqs) if seqs else np.zeros(0, np.int8)
+    titles = [f"t{i}" for i in range(n)]
+    return titles, seqs, flat, lengths
+
+
+def test_pack_roundtrip(rng):
+    titles, seqs, flat, lengths = _random_db(rng, 2500)
+    db = pack_sequences(flat, lengths, titles)
+    assert db.n_seqs == 2500
+    assert db.n_residues == int(lengths.sum())
+    # sorted ascending
+    assert (np.diff(db.lengths) >= 0).all()
+
+    # every sequence must decode back exactly, via its sorted id
+    order = np.argsort(lengths, kind="stable")
+    seen = 0
+    for L in db.bin_lengths:
+        assert L % 128 == 0
+        G = db.bins[L]["seq"].shape[0]
+        for g in range(G):
+            for sid, slen, s in unpack_group(db, L, g):
+                src = order[sid]
+                assert slen == lengths[src]
+                np.testing.assert_array_equal(s, seqs[src])
+                assert db.title_of(sid) == titles[src]
+                seen += 1
+    assert seen == 2500
+
+    # padding is dummy everywhere beyond each lane's true length
+    for L in db.bin_lengths:
+        b = db.bins[L]
+        pos = np.arange(L)[None, :, None, None]
+        lens = b["len"][:, None, :, :]
+        pad_mask = pos >= lens
+        assert (b["seq"][pad_mask] == DUMMY).all()
+
+
+def test_pack_group_geometry(rng):
+    titles, seqs, flat, lengths = _random_db(rng, GROUP_LANES + 5)
+    db = pack_sequences(flat, lengths, titles)
+    total_groups = sum(db.bins[L]["seq"].shape[0] for L in db.bin_lengths)
+    assert total_groups == 2
+    for L in db.bin_lengths:
+        assert db.bins[L]["seq"].shape[1:] == (L, 8, 128)
+
+
+def test_preprocess_save_load(tmp_path, rng):
+    titles, seqs, flat, lengths = _random_db(rng, 200)
+    p = str(tmp_path / "db.fasta")
+    write_fasta(p, titles, seqs)
+    out = str(tmp_path / "mydb")
+    preprocess_db(p, out, verbose=False)
+    db = load_db(out)
+    assert db.n_seqs == 200
+    assert db.n_residues == int(lengths.sum())
+    order = np.argsort(lengths, kind="stable")
+    assert db.titles == [titles[i] for i in order]
+    # mmap'd arrays decode fine
+    L0 = db.bin_lengths[0]
+    assert db.bins[L0]["seq"].dtype == np.int8
+
+
+def test_load_queries_sorted(tmp_path, rng):
+    titles, seqs, flat, lengths = _random_db(rng, 9)
+    p = str(tmp_path / "q.fasta")
+    write_fasta(p, titles, seqs)
+    qt, qs = load_queries(p)
+    qlens = [len(s) for s in qs]
+    assert qlens == sorted(qlens)
+    assert set(qt) == set(titles)
