@@ -1,0 +1,216 @@
+"""Pod-scale distributed search: sharded database, collective top-k merge.
+
+TPU-native replacement of the reference's multi-device machinery:
+
+- The multi-FPGA round-robin chunk scheduler
+  (/root/reference/host/src/FPGAsearch.c:132-239) becomes a
+  `jax.sharding.Mesh` over all chips with the packed database's group axis
+  sharded across the mesh — XLA runs every shard's scan concurrently; there
+  is no host-side scheduling loop at all.
+- The host/FPGA calibration-based workload balancer
+  (/root/reference/host/src/sequences.c:827-1094, HybridSearch.c:124-622)
+  becomes *static* balancing: within a length bin every group costs the
+  same (identical padded shape), so an even split of groups is an even
+  split of work; across bins every device owns a slice of every bin.
+  No calibration phase exists.
+- The host-side gather of per-chunk scores + global mergesort
+  (FPGAsearch.c:236-237, utils.c:3-86) becomes a per-shard `lax.top_k`
+  followed by an `all_gather` of the k candidates over ICI and a replicated
+  global `lax.top_k` — O(k) bytes cross the interconnect per bin instead of
+  one score per database sequence.
+
+Multi-host note: the same program runs under `jax.distributed` with a mesh
+spanning all processes; each host constructs its process-local group slice
+(`np.ndarray` per bin) and `jax.make_array_from_process_local_data`
+assembles the global sharded array.  Tests exercise the logic on a virtual
+8-device CPU mesh.
+"""
+
+import dataclasses
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from oswald_tpu.alphabet import DUMMY
+from oswald_tpu.submat import get_submat
+from oswald_tpu.io.db import PackedDB, SUBLANES, LANES, GROUP_LANES
+from oswald_tpu.kernels import build_profile, CHUNK_WIDTH
+from oswald_tpu.engine.search import (
+    SearchConfig, SearchResult, _search_bin_impl, _search_bin_stream_impl,
+)
+
+AXIS = "d"
+
+
+def make_device_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over all (or the first n) addressable devices.
+
+    A flat axis is the right topology here: the computation is pure data
+    parallelism over database groups, and the only collective is an
+    all-gather of k candidates, so there is nothing to gain from a 2-D
+    (hosts x chips) factorisation.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def shard_groups(bin_arrays: dict, n_shards: int) -> dict:
+    """Pad one bin's [G, ...] arrays so G divides n_shards.
+
+    Padding groups hold dummy residues (score 0 vs everything) and id -1
+    (masked out of top-k), so they change no result — the static-shape
+    analog of the reference's chunk-count rounding to a device multiple
+    (/root/reference/host/src/sequences.c:913-918).
+    """
+    G = bin_arrays["seq"].shape[0]
+    G_pad = -(-G // n_shards) * n_shards
+    if G_pad == G:
+        return bin_arrays
+    pad = G_pad - G
+    L = bin_arrays["seq"].shape[1]
+    return {
+        "seq": np.concatenate(
+            [bin_arrays["seq"],
+             np.full((pad, L, SUBLANES, LANES), DUMMY, np.int8)]),
+        "len": np.concatenate(
+            [bin_arrays["len"], np.zeros((pad, SUBLANES, LANES), np.int32)]),
+        "id": np.concatenate(
+            [bin_arrays["id"], np.full((pad, SUBLANES, LANES), -1, np.int32)]),
+    }
+
+
+class DistributedSearchEngine:
+    """Database search over a device mesh with collective top-k merge.
+
+    Per length bin L the device-resident state is either a precomputed
+    profile stack int8[C, G, 24, POS, 128] or the packed residues
+    int8[C, G, W, 8, 128] (config.profile_mode), sharded over the group
+    axis G.  A search runs one jitted shard_map program per bin that scans
+    the local chunks, takes the local top-k, all-gathers the candidates,
+    and reduces to the replicated global top-k; bins merge on the host
+    (k entries per bin).
+    """
+
+    def __init__(self, db: PackedDB, config: SearchConfig = None,
+                 mesh: Mesh = None):
+        self.db = db
+        self.config = config or SearchConfig()
+        self.mesh = mesh if mesh is not None else make_device_mesh()
+        self.ndev = self.mesh.devices.size
+        self.submat = get_submat(self.config.matrix)
+        self._interpret = self.config.resolved_interpret()
+        self.gaps = jnp.asarray(
+            [self.config.open_gap, self.config.extend_gap], jnp.int32)
+        self.submat_dev = jax.device_put(
+            jnp.asarray(self.submat), NamedSharding(self.mesh, P()))
+
+        build_sharded = jax.jit(
+            jax.vmap(build_profile, in_axes=(0, None)),
+            out_shardings=NamedSharding(self.mesh, P(None, AXIS)))
+
+        self.prof_stacks = {}
+        self.seq_stacks = {}
+        self.ids = {}
+        self._bin_fns = {}
+        for L in db.bin_lengths:
+            padded = shard_groups(db.bins[L], self.ndev)
+            G = padded["seq"].shape[0]
+            C = L // CHUNK_WIDTH
+            # [C, G, W, 8, 128], group axis sharded over the mesh
+            chunks = np.ascontiguousarray(
+                padded["seq"].reshape(G, C, CHUNK_WIDTH, SUBLANES, LANES)
+                .transpose(1, 0, 2, 3, 4))
+            seq_sharded = jax.device_put(
+                chunks, NamedSharding(self.mesh, P(None, AXIS)))
+            if self.config.profile_mode == "precompute":
+                self.prof_stacks[L] = build_sharded(seq_sharded,
+                                                    self.submat_dev)
+            else:
+                self.seq_stacks[L] = seq_sharded
+            self.ids[L] = jax.device_put(
+                np.ascontiguousarray(padded["id"]),
+                NamedSharding(self.mesh, P(AXIS)))
+
+    def _bin_fn(self, L: int, k: int):
+        """Compiled per-bin shard_map: (q, gaps, data, ids) -> (scores[k],
+        ids[k]) replicated."""
+        key = (L, k)
+        if key in self._bin_fns:
+            return self._bin_fns[key]
+        u_rows, interpret = self.config.u_rows, self._interpret
+        precompute = self.config.profile_mode == "precompute"
+
+        def local_fn(q_pad, gaps, submat, data, ids):
+            if precompute:
+                scores = _search_bin_impl(q_pad, gaps, data, u_rows,
+                                          interpret)
+            else:
+                scores = _search_bin_stream_impl(q_pad, gaps, submat, data,
+                                                 u_rows, interpret)
+            flat = scores.reshape(-1)
+            idsf = ids.reshape(-1)
+            masked = jnp.where(idsf >= 0, flat, -1)
+            kk = min(k, flat.shape[0])
+            loc_s, loc_i = jax.lax.top_k(masked, kk)
+            loc_ids = jnp.take(idsf, loc_i)
+            # O(k) bytes per device over ICI — the collective merge
+            all_s = jax.lax.all_gather(loc_s, AXIS, tiled=True)
+            all_ids = jax.lax.all_gather(loc_ids, AXIS, tiled=True)
+            top_s, top_i = jax.lax.top_k(all_s, kk)
+            return top_s, jnp.take(all_ids, top_i)
+
+        fn = jax.jit(jax.shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(None, AXIS), P(AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False))
+        self._bin_fns[key] = fn
+        return fn
+
+    def _pad_query(self, query):
+        q = np.asarray(query, dtype=np.int32)
+        if q.size == 0:
+            q = np.full(1, DUMMY, np.int32)
+        quantum = max(self.config.query_pad_quantum, self.config.u_rows)
+        m_pad = -(-q.size // quantum) * quantum
+        return np.concatenate([q, np.full(m_pad - q.size, DUMMY, np.int32)])
+
+    def search(self, query, query_title: str = "query") -> SearchResult:
+        t0 = time.perf_counter()
+        q_pad = jnp.asarray(self._pad_query(query))
+        k = min(self.config.top, max(self.db.n_seqs, 1))
+        cand_s, cand_i = [], []
+        for L in self.db.bin_lengths:
+            data = self.prof_stacks[L] if \
+                self.config.profile_mode == "precompute" else \
+                self.seq_stacks[L]
+            s, i = self._bin_fn(L, k)(q_pad, self.gaps, self.submat_dev,
+                                      data, self.ids[L])
+            cand_s.append(np.asarray(s))
+            cand_i.append(np.asarray(i))
+        scores = np.concatenate(cand_s) if cand_s else np.zeros(0, np.int32)
+        ids = np.concatenate(cand_i) if cand_i else np.zeros(0, np.int32)
+        valid = ids >= 0
+        scores, ids = scores[valid], ids[valid]
+        # deterministic merge: score descending, id ascending on ties —
+        # identical to a global top_k over the slot-ordered flat scores
+        order = np.lexsort((ids, -scores))[:k]
+        scores, ids = scores[order], ids[order]
+        elapsed = time.perf_counter() - t0
+        titles = [self.db.title_of(int(i)) for i in ids]
+        return SearchResult(query_title=query_title,
+                            query_length=int(np.asarray(query).size),
+                            scores=scores, seq_ids=ids, titles=titles,
+                            elapsed=elapsed)
+
+    def search_many(self, queries, titles=None):
+        titles = titles or [f"query{i}" for i in range(len(queries))]
+        return [self.search(q, t) for q, t in zip(queries, titles)]

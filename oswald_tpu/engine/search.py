@@ -35,6 +35,10 @@ class SearchConfig:
     u_rows: int = 8             # query rows register-blocked per kernel step
     query_pad_quantum: int = 64   # pad m to this to limit compile variants
     interpret: bool | None = None  # None = auto (True off-TPU)
+    # "precompute": build 24x score profiles once per engine (fastest, 24x
+    # residues of HBM).  "stream": rebuild each chunk's profile per query
+    # inside the scan (for databases too big to hold profiles in HBM).
+    profile_mode: str = "precompute"
 
     def resolved_interpret(self) -> bool:
         if self.interpret is None:
@@ -56,9 +60,12 @@ class SearchResult:
         return None           # filled by the engine's report
 
 
-@functools.partial(jax.jit, static_argnames=("u_rows", "interpret"))
-def _search_bin(q_pad, gaps, prof_stack, u_rows, interpret):
-    """Scan all column chunks of one bin; returns [G, 8, 128] scores."""
+def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret):
+    """Scan all column chunks of one bin; returns [G, 8, 128] scores.
+
+    prof_stack: int8[C, G, 24, POS, 128] precomputed score profiles.
+    Not jitted so it can be used inside shard_map (oswald_tpu.dist).
+    """
     C, G = prof_stack.shape[0], prof_stack.shape[1]
     m_pad = q_pad.shape[0]
     colH = jnp.zeros((G, m_pad, SUBLANES, LANES), jnp.int32)
@@ -78,6 +85,46 @@ def _search_bin(q_pad, gaps, prof_stack, u_rows, interpret):
     (colH, colE, scores), _ = jax.lax.scan(step, (colH, colE, scores),
                                            prof_stack)
     return scores
+
+
+def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
+                            interpret):
+    """Like `_search_bin_impl` but builds each chunk's score profile on the
+    fly from the packed residues (seq_chunks: int8[C, G, W, 8, 128]).
+
+    Trades one extra profile gather per query for 24x less HBM capacity —
+    the mode for databases whose precomputed profiles would not fit HBM
+    (the reference always rebuilds profiles per chunk,
+    /root/reference/host/src/HybridSearch.c:141-173; here it is a config
+    choice because on TPU the precomputed profile is usually affordable
+    and saves the gather).
+    """
+    C, G = seq_chunks.shape[0], seq_chunks.shape[1]
+    m_pad = q_pad.shape[0]
+    colH = jnp.zeros((G, m_pad, SUBLANES, LANES), jnp.int32)
+    colE = jnp.zeros_like(colH)
+    scores = jnp.zeros((G, SUBLANES, LANES), jnp.int32)
+
+    def step(carry, seq_c):
+        colH, colE, scores = carry
+        prof_c = build_profile(seq_c, submat)
+        colHd = jnp.concatenate(
+            [jnp.zeros((G, 1, SUBLANES, LANES), jnp.int32), colH[:, :-1]],
+            axis=1)
+        scores, colH, colE = sw_chunk(q_pad, gaps, prof_c, colH, colHd,
+                                      colE, scores, u_rows=u_rows,
+                                      interpret=interpret)
+        return (colH, colE, scores), None
+
+    (colH, colE, scores), _ = jax.lax.scan(step, (colH, colE, scores),
+                                           seq_chunks)
+    return scores
+
+
+_search_bin = jax.jit(_search_bin_impl,
+                      static_argnames=("u_rows", "interpret"))
+_search_bin_stream = jax.jit(_search_bin_stream_impl,
+                             static_argnames=("u_rows", "interpret"))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -104,17 +151,26 @@ class SearchEngine:
         self.gaps = jnp.asarray(
             [self.config.open_gap, self.config.extend_gap], jnp.int32)
 
-        # [C, G, 24, POS, 128] int8 per bin, on device
+        # per bin, on device: either [C, G, 24, POS, 128] int8 profiles
+        # (precompute mode) or [C, G, W, 8, 128] int8 residues (stream mode)
         self.prof_stacks = {}
+        self.seq_stacks = {}
         for L in db.bin_lengths:
             seq = jnp.asarray(np.ascontiguousarray(db.bins[L]["seq"]))
             C = L // CHUNK_WIDTH
             G = seq.shape[0]
             chunks = seq.reshape(G, C, CHUNK_WIDTH, SUBLANES, LANES)
-            profs = []
-            for c in range(C):
-                profs.append(build_profile(chunks[:, c], self.submat))
-            self.prof_stacks[L] = jnp.stack(profs)
+            if self.config.profile_mode == "precompute":
+                profs = []
+                for c in range(C):
+                    profs.append(build_profile(chunks[:, c], self.submat))
+                self.prof_stacks[L] = jnp.stack(profs)
+            elif self.config.profile_mode == "stream":
+                self.seq_stacks[L] = jnp.asarray(chunks.transpose(1, 0, 2, 3, 4))
+            else:
+                raise ValueError(
+                    f"unknown profile_mode {self.config.profile_mode!r}")
+        self.submat_dev = jnp.asarray(self.submat)
 
         # flat validity mask in slot order (bins ascending = sorted order)
         masks = [np.asarray(db.bins[L]["id"]).reshape(-1) >= 0
@@ -136,8 +192,13 @@ class SearchEngine:
         q_pad = jnp.asarray(self._pad_query(query))
         outs = []
         for L in self.db.bin_lengths:
-            s = _search_bin(q_pad, self.gaps, self.prof_stacks[L],
-                            self.config.u_rows, self._interpret)
+            if self.config.profile_mode == "precompute":
+                s = _search_bin(q_pad, self.gaps, self.prof_stacks[L],
+                                self.config.u_rows, self._interpret)
+            else:
+                s = _search_bin_stream(q_pad, self.gaps, self.submat_dev,
+                                       self.seq_stacks[L],
+                                       self.config.u_rows, self._interpret)
             outs.append(s.reshape(-1))
         return jnp.concatenate(outs) if outs else jnp.zeros((0,), jnp.int32)
 

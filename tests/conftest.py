@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize imports jax at interpreter start, so the env vars
+# above can arrive after import — force the platform via config too (the
+# backend itself initialises lazily, so this still takes effect).
+import jax
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

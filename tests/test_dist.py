@@ -1,0 +1,69 @@
+"""Distributed search on a virtual 8-device CPU mesh: parity with the
+single-chip engine and with the oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from oswald_tpu.submat import get_submat
+from oswald_tpu.core import sw_score_numpy
+from oswald_tpu.io import pack_sequences
+from oswald_tpu.engine import SearchEngine, SearchConfig
+from oswald_tpu.dist import DistributedSearchEngine, make_device_mesh, \
+    shard_groups
+
+from conftest import random_protein
+
+
+def _make_db(rng, n, lmax):
+    lengths = rng.integers(1, lmax, size=n)
+    seqs = [random_protein(rng, int(l)) for l in lengths]
+    flat = np.concatenate(seqs)
+    titles = [f"seq{i}" for i in range(n)]
+    return pack_sequences(flat, lengths, titles), seqs, lengths
+
+
+def test_mesh_has_8_devices():
+    assert jax.device_count() == 8
+    assert make_device_mesh().devices.size == 8
+
+
+def test_shard_groups_pads_to_multiple():
+    rng = np.random.default_rng(1)
+    db, _, _ = _make_db(rng, 1100, 80)   # 2 groups in one bin
+    (L,) = db.bin_lengths
+    padded = shard_groups(db.bins[L], 8)
+    assert padded["seq"].shape[0] == 8
+    assert (padded["id"][2:] == -1).all()
+    # original groups untouched
+    np.testing.assert_array_equal(padded["seq"][:2], db.bins[L]["seq"])
+
+
+@pytest.mark.parametrize("profile_mode", ["precompute", "stream"])
+def test_distributed_matches_single_chip(rng, profile_mode):
+    db, seqs, lengths = _make_db(rng, 2100, 220)
+    cfg = SearchConfig(top=10, profile_mode=profile_mode)
+    single = SearchEngine(db, SearchConfig(top=10))
+    dist = DistributedSearchEngine(db, cfg)
+    q = random_protein(rng, 77)
+    r1 = single.search(q)
+    r2 = dist.search(q)
+    np.testing.assert_array_equal(r1.scores, r2.scores)
+    np.testing.assert_array_equal(r1.seq_ids, r2.seq_ids)
+    assert r1.titles == r2.titles
+
+
+def test_distributed_matches_oracle_topk(rng):
+    db, seqs, lengths = _make_db(rng, 600, 90)
+    cfg = SearchConfig(top=5)
+    dist = DistributedSearchEngine(db, cfg)
+    q = random_protein(rng, 40)
+    r = dist.search(q)
+    sm = get_submat("blosum62")
+    order = np.argsort(lengths, kind="stable")
+    want = np.array([sw_score_numpy(q, seqs[src], sm) for src in order])
+    ids = np.arange(len(order))
+    top = np.lexsort((ids, -want))[:5]
+    np.testing.assert_array_equal(r.scores, want[top])
+    np.testing.assert_array_equal(r.seq_ids, top)
