@@ -1,0 +1,89 @@
+"""Headline benchmark: single-chip GCUPS on a synthetic protein database.
+
+Prints ONE JSON line:
+  {"metric": "GCUPS", "value": N, "unit": "GCUPS", "vs_baseline": N/179}
+
+GCUPS = query_residues x db_residues / (search_seconds x 1e9), the
+reference's own metric (/root/reference/host/src/FPGAsearch.c:324), counted
+over TRUE residues (padding cells are not credited).  vs_baseline compares
+against the reference's best published number, 179 GCUPS for the hybrid
+2x Xeon E5-2670 + Stratix V system (/root/reference/README.md:23).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+from oswald_tpu.io import pack_sequences
+from oswald_tpu.engine import SearchEngine, SearchConfig
+
+
+def make_synthetic_db(n_seqs: int, mean_len: int, rng):
+    """Length distribution roughly like a protein DB: lognormal, clipped."""
+    lengths = np.clip(
+        rng.lognormal(np.log(mean_len), 0.45, n_seqs).astype(np.int64),
+        32, 4 * mean_len)
+    flat = rng.integers(0, 23, size=int(lengths.sum())).astype(np.int8)
+    titles = [f"synthetic_{i}" for i in range(n_seqs)]
+    return pack_sequences(flat, lengths, titles)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seqs", type=int, default=None)
+    p.add_argument("--mean-len", type=int, default=256)
+    p.add_argument("--qlen", type=int, default=512)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--matrix", default="blosum62")
+    p.add_argument("--u-rows", type=int, default=8)
+    args = p.parse_args()
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    n_seqs = args.seqs if args.seqs is not None else (100_000 if on_tpu
+                                                     else 2_048)
+    iters = args.iters if on_tpu else 1
+
+    rng = np.random.default_rng(0)
+    db = make_synthetic_db(n_seqs, args.mean_len, rng)
+    query = rng.integers(0, 23, size=args.qlen).astype(np.int8)
+
+    cfg = SearchConfig(matrix=args.matrix, u_rows=args.u_rows)
+    t0 = time.perf_counter()
+    eng = SearchEngine(db, cfg)
+    setup_s = time.perf_counter() - t0
+
+    # warm-up: compile every bin's program
+    eng.search(query)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        res = eng.search(query)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    cells = args.qlen * db.n_residues
+    gcups = cells / dt / 1e9
+    padded = sum(db.bins[L]["seq"].shape[0] * L * 1024
+                 for L in db.bin_lengths)
+    info = {
+        "backend": backend, "n_seqs": db.n_seqs,
+        "db_residues": db.n_residues, "qlen": args.qlen,
+        "pad_overhead": round(padded / db.n_residues, 3),
+        "search_s": round(dt, 4), "setup_s": round(setup_s, 2),
+        "top1": int(res.scores[0]),
+    }
+    print(json.dumps(info), file=sys.stderr)
+    print(json.dumps({"metric": "GCUPS", "value": round(gcups, 2),
+                      "unit": "GCUPS",
+                      "vs_baseline": round(gcups / 179.0, 3)}))
+
+
+if __name__ == "__main__":
+    main()
