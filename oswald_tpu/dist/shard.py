@@ -107,6 +107,7 @@ class DistributedSearchEngine:
         self.ndev = self.mesh.devices.size
         self.submat = get_submat(self.config.matrix)
         self._interpret = self.config.resolved_interpret()
+        self._acc = self.config.resolved_acc_dtype()
         self.gaps = jnp.asarray(
             [self.config.open_gap, self.config.extend_gap], jnp.int32)
         self.submat_dev = jax.device_put(
@@ -121,7 +122,9 @@ class DistributedSearchEngine:
         self.ids = {}
         self._bin_fns = {}
         for L in db.bin_lengths:
-            padded = shard_groups(db.bins[L], self.ndev)
+            # every shard's local group count must also divide group_block
+            padded = shard_groups(db.bins[L],
+                                  self.ndev * self.config.group_block)
             G = padded["seq"].shape[0]
             C = L // CHUNK_WIDTH
             # [C, G, W, 8, 128], group axis sharded over the mesh
@@ -146,15 +149,16 @@ class DistributedSearchEngine:
         if key in self._bin_fns:
             return self._bin_fns[key]
         u_rows, interpret = self.config.u_rows, self._interpret
+        gb, acc = self.config.group_block, self._acc
         precompute = self.config.profile_mode == "precompute"
 
         def local_fn(q_pad, gaps, submat, data, ids):
             if precompute:
                 scores = _search_bin_impl(q_pad, gaps, data, u_rows,
-                                          interpret)
+                                          interpret, gb, acc)
             else:
                 scores = _search_bin_stream_impl(q_pad, gaps, submat, data,
-                                                 u_rows, interpret)
+                                                 u_rows, interpret, gb, acc)
             flat = scores.reshape(-1)
             idsf = ids.reshape(-1)
             masked = jnp.where(idsf >= 0, flat, -1)

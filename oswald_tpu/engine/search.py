@@ -33,8 +33,15 @@ class SearchConfig:
     extend_gap: int = 2
     top: int = 10
     u_rows: int = 8             # query rows register-blocked per kernel step
+    group_block: int = 2        # independent groups interleaved per kernel
+                                # step (VPU latency hiding); bins are padded
+                                # with score-inert dummy groups to a multiple
     query_pad_quantum: int = 64   # pad m to this to limit compile variants
     interpret: bool | None = None  # None = auto (True off-TPU)
+    # Kernel accumulator: "float32" issues ~10% faster than "int32" on the
+    # VPU and is exact for SW scores (integers far below 2^24; max possible
+    # score ~ 15 * 5478 << 2^24).  Measured v5e: 190 vs 174 GCUPS.
+    acc_dtype: str = "float32"
     # "precompute": build 24x score profiles once per engine (fastest, 24x
     # residues of HBM).  "stream": rebuild each chunk's profile per query
     # inside the scan (for databases too big to hold profiles in HBM).
@@ -44,6 +51,9 @@ class SearchConfig:
         if self.interpret is None:
             return jax.default_backend() != "tpu"
         return self.interpret
+
+    def resolved_acc_dtype(self):
+        return {"int32": jnp.int32, "float32": jnp.float32}[self.acc_dtype]
 
 
 @dataclasses.dataclass
@@ -60,35 +70,40 @@ class SearchResult:
         return None           # filled by the engine's report
 
 
-def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret):
-    """Scan all column chunks of one bin; returns [G, 8, 128] scores.
+def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
+                     group_block=1, acc_dtype=jnp.int32):
+    """Scan all column chunks of one bin; returns [G, 8, 128] int32 scores.
 
     prof_stack: int8[C, G, 24, POS, 128] precomputed score profiles.
+    acc_dtype: kernel accumulator type — int32 or float32 (both exact for
+    protein SW scores; fp32 issues slightly faster on the VPU).
     Not jitted so it can be used inside shard_map (oswald_tpu.dist).
     """
     C, G = prof_stack.shape[0], prof_stack.shape[1]
     m_pad = q_pad.shape[0]
-    colH = jnp.zeros((G, m_pad, SUBLANES, LANES), jnp.int32)
+    colH = jnp.zeros((G, m_pad, SUBLANES, LANES), acc_dtype)
     colE = jnp.zeros_like(colH)
-    scores = jnp.zeros((G, SUBLANES, LANES), jnp.int32)
+    scores = jnp.zeros((G, SUBLANES, LANES), acc_dtype)
 
     def step(carry, prof_c):
         colH, colE, scores = carry
         colHd = jnp.concatenate(
-            [jnp.zeros((G, 1, SUBLANES, LANES), jnp.int32), colH[:, :-1]],
+            [jnp.zeros((G, 1, SUBLANES, LANES), acc_dtype), colH[:, :-1]],
             axis=1)
         scores, colH, colE = sw_chunk(q_pad, gaps, prof_c, colH, colHd,
                                       colE, scores, u_rows=u_rows,
+                                      group_block=group_block,
+                                      acc_dtype=acc_dtype,
                                       interpret=interpret)
         return (colH, colE, scores), None
 
     (colH, colE, scores), _ = jax.lax.scan(step, (colH, colE, scores),
                                            prof_stack)
-    return scores
+    return scores.astype(jnp.int32)
 
 
 def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
-                            interpret):
+                            interpret, group_block=1, acc_dtype=jnp.int32):
     """Like `_search_bin_impl` but builds each chunk's score profile on the
     fly from the packed residues (seq_chunks: int8[C, G, W, 8, 128]).
 
@@ -101,30 +116,34 @@ def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
     """
     C, G = seq_chunks.shape[0], seq_chunks.shape[1]
     m_pad = q_pad.shape[0]
-    colH = jnp.zeros((G, m_pad, SUBLANES, LANES), jnp.int32)
+    colH = jnp.zeros((G, m_pad, SUBLANES, LANES), acc_dtype)
     colE = jnp.zeros_like(colH)
-    scores = jnp.zeros((G, SUBLANES, LANES), jnp.int32)
+    scores = jnp.zeros((G, SUBLANES, LANES), acc_dtype)
 
     def step(carry, seq_c):
         colH, colE, scores = carry
         prof_c = build_profile(seq_c, submat)
         colHd = jnp.concatenate(
-            [jnp.zeros((G, 1, SUBLANES, LANES), jnp.int32), colH[:, :-1]],
+            [jnp.zeros((G, 1, SUBLANES, LANES), acc_dtype), colH[:, :-1]],
             axis=1)
         scores, colH, colE = sw_chunk(q_pad, gaps, prof_c, colH, colHd,
                                       colE, scores, u_rows=u_rows,
+                                      group_block=group_block,
+                                      acc_dtype=acc_dtype,
                                       interpret=interpret)
         return (colH, colE, scores), None
 
     (colH, colE, scores), _ = jax.lax.scan(step, (colH, colE, scores),
                                            seq_chunks)
-    return scores
+    return scores.astype(jnp.int32)
 
 
 _search_bin = jax.jit(_search_bin_impl,
-                      static_argnames=("u_rows", "interpret"))
-_search_bin_stream = jax.jit(_search_bin_stream_impl,
-                             static_argnames=("u_rows", "interpret"))
+                      static_argnames=("u_rows", "interpret", "group_block",
+                                       "acc_dtype"))
+_search_bin_stream = jax.jit(
+    _search_bin_stream_impl,
+    static_argnames=("u_rows", "interpret", "group_block", "acc_dtype"))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -148,18 +167,34 @@ class SearchEngine:
         self.config = config or SearchConfig()
         self.submat = get_submat(self.config.matrix)
         self._interpret = self.config.resolved_interpret()
+        self._acc = self.config.resolved_acc_dtype()
         self.gaps = jnp.asarray(
             [self.config.open_gap, self.config.extend_gap], jnp.int32)
 
         # per bin, on device: either [C, G, 24, POS, 128] int8 profiles
-        # (precompute mode) or [C, G, W, 8, 128] int8 residues (stream mode)
+        # (precompute mode) or [C, G, W, 8, 128] int8 residues (stream mode).
+        # G is padded to a multiple of group_block with dummy groups (DUMMY
+        # residues score 0 everywhere, ids -1 mask them out of top-k).
+        gb = self.config.group_block
         self.prof_stacks = {}
         self.seq_stacks = {}
+        ids_flat = []
         for L in db.bin_lengths:
-            seq = jnp.asarray(np.ascontiguousarray(db.bins[L]["seq"]))
+            seq_np = np.asarray(db.bins[L]["seq"])
+            ids_np = np.asarray(db.bins[L]["id"])
+            G = seq_np.shape[0]
+            G_pad = -(-G // gb) * gb
+            if G_pad != G:
+                seq_np = np.concatenate(
+                    [seq_np, np.full((G_pad - G, L, SUBLANES, LANES),
+                                     DUMMY, np.int8)])
+                ids_np = np.concatenate(
+                    [ids_np, np.full((G_pad - G, SUBLANES, LANES), -1,
+                                     np.int32)])
+            ids_flat.append(ids_np.reshape(-1))
+            seq = jnp.asarray(np.ascontiguousarray(seq_np))
             C = L // CHUNK_WIDTH
-            G = seq.shape[0]
-            chunks = seq.reshape(G, C, CHUNK_WIDTH, SUBLANES, LANES)
+            chunks = seq.reshape(G_pad, C, CHUNK_WIDTH, SUBLANES, LANES)
             if self.config.profile_mode == "precompute":
                 profs = []
                 for c in range(C):
@@ -172,11 +207,11 @@ class SearchEngine:
                     f"unknown profile_mode {self.config.profile_mode!r}")
         self.submat_dev = jnp.asarray(self.submat)
 
-        # flat validity mask in slot order (bins ascending = sorted order)
-        masks = [np.asarray(db.bins[L]["id"]).reshape(-1) >= 0
-                 for L in db.bin_lengths]
-        self.valid = jnp.asarray(np.concatenate(masks)) if masks else \
-            jnp.zeros((0,), bool)
+        # slot -> sorted-sequence-id map in slot order (bins ascending);
+        # -1 marks padding slots (excluded from top-k)
+        self.ids_flat = np.concatenate(ids_flat) if ids_flat else \
+            np.zeros((0,), np.int32)
+        self.valid = jnp.asarray(self.ids_flat >= 0)
         self.n_slots = int(self.valid.shape[0])
 
     def _pad_query(self, query):
@@ -194,11 +229,13 @@ class SearchEngine:
         for L in self.db.bin_lengths:
             if self.config.profile_mode == "precompute":
                 s = _search_bin(q_pad, self.gaps, self.prof_stacks[L],
-                                self.config.u_rows, self._interpret)
+                                self.config.u_rows, self._interpret,
+                                self.config.group_block, self._acc)
             else:
                 s = _search_bin_stream(q_pad, self.gaps, self.submat_dev,
                                        self.seq_stacks[L],
-                                       self.config.u_rows, self._interpret)
+                                       self.config.u_rows, self._interpret,
+                                       self.config.group_block, self._acc)
             outs.append(s.reshape(-1))
         return jnp.concatenate(outs) if outs else jnp.zeros((0,), jnp.int32)
 
@@ -206,9 +243,11 @@ class SearchEngine:
         t0 = time.perf_counter()
         scores = self.score_all(query)
         k = min(self.config.top, self.db.n_seqs)
-        top_scores, top_ids = _topk(scores, self.valid, k)
+        top_scores, top_slots = _topk(scores, self.valid, k)
         top_scores = np.asarray(top_scores)
-        top_ids = np.asarray(top_ids)
+        # slots -> sorted-sequence ids (slot order preserves id order, so
+        # top_k's lowest-index tie-break is a lowest-id tie-break)
+        top_ids = self.ids_flat[np.asarray(top_slots)]
         elapsed = time.perf_counter() - t0
         titles = [self.db.title_of(int(i)) for i in top_ids]
         return SearchResult(query_title=query_title,

@@ -34,6 +34,7 @@ profile block (index depends only on g) stays resident for a whole group.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,7 @@ SUBLANES = 8
 LANES = 128
 POS_PER_CHUNK = CHUNK_WIDTH * SUBLANES   # flattened (j, sublane) rows
 DEFAULT_U_ROWS = 8
+_ABLATE_S = bool(os.environ.get("SW_ABLATE_S"))   # perf experiments only
 
 
 def build_profile(db_chunk, submat):
@@ -68,13 +70,14 @@ def build_profile(db_chunk, submat):
     return prof.transpose(1, 0, 2, 3)
 
 
-def _kernel(u_rows, q_ref, gaps_ref, prof_ref, colh_ref, colhd_ref, cole_ref,
-            sin_ref, scores_ref, colho_ref, coleo_ref, hrow_ref, fcol_ref):
+def _kernel(u_rows, gb, acc_dtype, q_ref, gaps_ref, prof_ref, colh_ref,
+            colhd_ref, cole_ref, sin_ref, scores_ref, colho_ref, coleo_ref,
+            hrow_ref, fcol_ref):
     r = pl.program_id(1)
     U = u_rows
     W = prof_ref.shape[2] // SUBLANES
-    eg = gaps_ref[1]
-    oeg = gaps_ref[0] + eg
+    eg = gaps_ref[1].astype(acc_dtype)
+    oeg = (gaps_ref[0] + gaps_ref[1]).astype(acc_dtype)
 
     @pl.when(r == 0)
     def _init():
@@ -87,48 +90,65 @@ def _kernel(u_rows, q_ref, gaps_ref, prof_ref, colh_ref, colhd_ref, cole_ref,
 
     i0 = r * U
     a = [q_ref[i0 + u] for u in range(U)]
-    # chunk-boundary state from the previous chunk (zeros for chunk 0):
-    #   h_left[u] = H[i0+u, -1]        (colH, unshifted)
-    #   hprev     = H[i0-1, -1]        (colHd = colH shifted down one row)
-    #   e[u]      = E[i0+u, 0] cand.   (colE)
-    e0 = tuple(cole_ref[0, u] for u in range(U))
-    hl0 = tuple(colh_ref[0, u] for u in range(U))
-    carry0 = (colhd_ref[0, 0], jnp.zeros((SUBLANES, LANES), jnp.int32),
-              e0, hl0)
+    # gb independent groups advance in lockstep; their interleaved updates
+    # hide the VPU op latency of the per-group F/E dependency chain (the
+    # kernel is latency-bound at gb=1: ~1 vector op/cycle issued against a
+    # ~4/cycle VPU).  Chunk-boundary state from the previous chunk (zeros
+    # for chunk 0):
+    #   hl[g][u] = H[i0+u, -1]        (colH, unshifted)
+    #   hprev[g] = H[i0-1, -1]        (colHd = colH shifted down one row)
+    #   e[g][u]  = E[i0+u, 0] cand.   (colE)
+    zero = jnp.zeros((SUBLANES, LANES), acc_dtype)
+    e0 = tuple(tuple(cole_ref[g, u] for u in range(U)) for g in range(gb))
+    hl0 = tuple(tuple(colh_ref[g, u] for u in range(U)) for g in range(gb))
+    carry0 = (tuple(colhd_ref[g, 0] for g in range(gb)),
+              tuple(zero for _ in range(gb)), e0, hl0)
 
     def body(j, carry):
         hprev, smax, e, hl = carry
         p = j * SUBLANES
-        hrow_j = hrow_ref[pl.ds(p, SUBLANES), :]     # H[i0-1, j]
-        f = fcol_ref[pl.ds(p, SUBLANES), :]          # F[i0, j]
-        diag = hprev                                 # H[i0-1, j-1]
-        e = list(e)
-        hl = list(hl)
+        hrow_j = [hrow_ref[g, pl.ds(p, SUBLANES), :] for g in range(gb)]
+        f = [fcol_ref[g, pl.ds(p, SUBLANES), :] for g in range(gb)]
+        diag = list(hprev)                           # H[i0-1, j-1]
+        smax = list(smax)
+        e = [list(eu) for eu in e]
+        hl = [list(hu) for hu in hl]
         for u in range(U):
-            s = prof_ref[0, a[u], pl.ds(p, SUBLANES), :].astype(jnp.int32)
-            cur = jnp.maximum(jnp.maximum(diag + s, 0),
-                              jnp.maximum(e[u], f))
-            cand = cur - oeg
-            f = jnp.maximum(f - eg, cand)            # F[i0+u+1, j]
-            e[u] = jnp.maximum(e[u] - eg, cand)      # E[i0+u, j+1]
-            smax = jnp.maximum(smax, cur)
-            diag = hl[u]                             # H[i0+u, j-1]
-            hl[u] = cur                              # H[i0+u, j]
-        hrow_ref[pl.ds(p, SUBLANES), :] = hl[U - 1]
-        fcol_ref[pl.ds(p, SUBLANES), :] = f
-        return (hrow_j, smax, tuple(e), tuple(hl))
+            for g in range(gb):
+                if _ABLATE_S:        # perf ablation only: bound load cost
+                    s = jnp.full((SUBLANES, LANES), 2, acc_dtype)
+                else:
+                    s = prof_ref[g, a[u], pl.ds(p, SUBLANES), :] \
+                        .astype(acc_dtype)
+                cur = jnp.maximum(jnp.maximum(diag[g] + s, 0),
+                                  jnp.maximum(e[g][u], f[g]))
+                cand = cur - oeg
+                f[g] = jnp.maximum(f[g] - eg, cand)      # F[i0+u+1, j]
+                e[g][u] = jnp.maximum(e[g][u] - eg, cand)  # E[i0+u, j+1]
+                smax[g] = jnp.maximum(smax[g], cur)
+                diag[g] = hl[g][u]                       # H[i0+u, j-1]
+                hl[g][u] = cur                           # H[i0+u, j]
+        for g in range(gb):
+            hrow_ref[g, pl.ds(p, SUBLANES), :] = hl[g][U - 1]
+            fcol_ref[g, pl.ds(p, SUBLANES), :] = f[g]
+        return (tuple(hrow_j), tuple(smax),
+                tuple(tuple(eu) for eu in e),
+                tuple(tuple(hu) for hu in hl))
 
     _, smax, e, hl = jax.lax.fori_loop(0, W, body, carry0)
-    scores_ref[...] = jnp.maximum(scores_ref[...], smax[None])
-    for u in range(U):
-        colho_ref[0, u] = hl[u]
-        coleo_ref[0, u] = e[u]
+    for g in range(gb):
+        scores_ref[g] = jnp.maximum(scores_ref[g], smax[g])
+        for u in range(U):
+            colho_ref[g, u] = hl[g][u]
+            coleo_ref[g, u] = e[g][u]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("u_rows", "interpret"))
+                   static_argnames=("u_rows", "group_block", "acc_dtype",
+                                    "interpret"))
 def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
-             u_rows: int = DEFAULT_U_ROWS, interpret: bool = False):
+             u_rows: int = DEFAULT_U_ROWS, group_block: int = 1,
+             acc_dtype=jnp.int32, interpret: bool = False):
     """Score one column chunk of the DP matrix for all groups.
 
     q:          int32[m_pad]               encoded query (scalar-prefetched)
@@ -139,61 +159,64 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
     colE:       int32[G, m_pad, 8, 128]     E candidates at this chunk's col 0
     scores_in:  int32[G, 8, 128]            running per-lane max
 
-    Returns (scores, colH_out, colE_out) with the same shapes.
+    group_block: independent groups interleaved per kernel step (latency
+    hiding); G must divide it.  Returns (scores, colH_out, colE_out).
     """
     G = prof_chunk.shape[0]
     POS = prof_chunk.shape[2]
     m_pad = q.shape[0]
     assert m_pad % u_rows == 0, (m_pad, u_rows)
+    assert G % group_block == 0, (G, group_block)
     R = m_pad // u_rows
     U = u_rows
+    GB = group_block
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(G, R),
+        grid=(G // GB, R),
         in_specs=[
-            pl.BlockSpec((1, ALPHA_SIZE, POS, LANES),
+            pl.BlockSpec((GB, ALPHA_SIZE, POS, LANES),
                          lambda g, r, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U, SUBLANES, LANES),
+            pl.BlockSpec((GB, U, SUBLANES, LANES),
                          lambda g, r, *_: (g, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U, SUBLANES, LANES),
+            pl.BlockSpec((GB, U, SUBLANES, LANES),
                          lambda g, r, *_: (g, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U, SUBLANES, LANES),
+            pl.BlockSpec((GB, U, SUBLANES, LANES),
                          lambda g, r, *_: (g, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUBLANES, LANES),
+            pl.BlockSpec((GB, SUBLANES, LANES),
                          lambda g, r, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, SUBLANES, LANES),
+            pl.BlockSpec((GB, SUBLANES, LANES),
                          lambda g, r, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U, SUBLANES, LANES),
+            pl.BlockSpec((GB, U, SUBLANES, LANES),
                          lambda g, r, *_: (g, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U, SUBLANES, LANES),
+            pl.BlockSpec((GB, U, SUBLANES, LANES),
                          lambda g, r, *_: (g, r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((POS, LANES), jnp.int32),    # H row state
-            pltpu.VMEM((POS, LANES), jnp.int32),    # F column state
+            pltpu.VMEM((GB, POS, LANES), acc_dtype),    # H row state
+            pltpu.VMEM((GB, POS, LANES), acc_dtype),    # F column state
         ],
     )
 
-    kernel = functools.partial(_kernel, U)
+    kernel = functools.partial(_kernel, U, GB, acc_dtype)
     cells = G * m_pad * (POS // SUBLANES) * SUBLANES * LANES
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((G, SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((G, m_pad, SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((G, m_pad, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, SUBLANES, LANES), acc_dtype),
+            jax.ShapeDtypeStruct((G, m_pad, SUBLANES, LANES), acc_dtype),
+            jax.ShapeDtypeStruct((G, m_pad, SUBLANES, LANES), acc_dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
