@@ -1,0 +1,141 @@
+"""Command-line interface: preprocess | search | info.
+
+Flag-compatible surface with the reference CLI
+(/root/reference/host/src/arguments.c:10-39, main.c:35-67): the same
+single-letter search flags (-q -d -s -g -e -r) with the same defaults and
+the same report fields (per-query top-k table, search time, GCUPS;
+FPGAsearch.c:311-331).  Device-specific reference flags (-m execution mode,
+-v vector length, -f num FPGAs, -k chunk size, -p calibration percentage,
+-b block width, -c threads) have no TPU meaning and are replaced by
+`--devices` (mesh size) and the engine tuning flags.
+"""
+
+import argparse
+import sys
+import time
+
+
+def _add_search_args(sp):
+    sp.add_argument("-q", "--query", required=True,
+                    help="query FASTA filename")
+    sp.add_argument("-d", "--db", required=True,
+                    help="preprocessed database path (.oswt)")
+    sp.add_argument("-s", "--sm", default="blosum62",
+                    help="substitution matrix: blosum45/50/62/80/90, "
+                         "pam30/70/250 (default: blosum62)")
+    sp.add_argument("-g", "--gap-open", type=int, default=10,
+                    help="gap open penalty (default: 10)")
+    sp.add_argument("-e", "--gap-extend", type=int, default=2,
+                    help="gap extend penalty (default: 2)")
+    sp.add_argument("-r", "--top", type=int, default=10,
+                    help="number of scores to show (default: 10)")
+    sp.add_argument("--devices", type=int, default=None,
+                    help="devices in the search mesh (default: all; "
+                         "1 = single-chip engine)")
+    sp.add_argument("--profile-mode", choices=("precompute", "stream"),
+                    default="precompute")
+    sp.add_argument("--u-rows", type=int, default=8)
+    sp.add_argument("--group-block", type=int, default=2)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="oswald-tpu",
+        description="TPU-native Smith-Waterman protein database search")
+    sub = p.add_subparsers(dest="op", required=True)
+
+    pp = sub.add_parser("preprocess", help="FASTA -> packed database")
+    pp.add_argument("-i", "--input", required=True,
+                    help="input FASTA filename")
+    pp.add_argument("-o", "--output", required=True,
+                    help="output database path (writes <output>.oswt/)")
+
+    sp = sub.add_parser("search", help="search a packed database")
+    _add_search_args(sp)
+
+    sub.add_parser("info", help="TPU device information")
+    return p
+
+
+def cmd_preprocess(args):
+    from oswald_tpu.io.db import preprocess_db
+    preprocess_db(args.input, args.output)
+    return 0
+
+
+def cmd_search(args):
+    import jax
+    import numpy as np
+    from oswald_tpu.io.db import load_db, load_queries
+    from oswald_tpu.engine import SearchEngine, SearchConfig
+
+    t_setup = time.perf_counter()
+    db = load_db(args.db)
+    queries_titles, queries = load_queries(args.query)
+    cfg = SearchConfig(matrix=args.sm, open_gap=args.gap_open,
+                       extend_gap=args.gap_extend, top=args.top,
+                       u_rows=args.u_rows, group_block=args.group_block,
+                       profile_mode=args.profile_mode)
+    n_dev = args.devices if args.devices is not None else \
+        jax.device_count()
+    if n_dev > 1:
+        from oswald_tpu.dist import DistributedSearchEngine, make_device_mesh
+        engine = DistributedSearchEngine(db, cfg,
+                                         mesh=make_device_mesh(n_dev))
+    else:
+        engine = SearchEngine(db, cfg)
+    setup_s = time.perf_counter() - t_setup
+
+    t0 = time.perf_counter()
+    results = engine.search_many(queries, queries_titles)
+    search_s = time.perf_counter() - t0
+
+    for i, res in enumerate(results):
+        print(f"\nQuery no.\t\t\t{i + 1}")
+        print(f"Query description: \t\t{res.query_title}")
+        print(f"Query length:\t\t\t{res.query_length} residues")
+        print("\nScore\tSequence description")
+        for sc, title in zip(res.scores, res.titles):
+            print(f"{int(sc)}\t{title}")
+
+    Q = sum(len(q) for q in queries)
+    D = db.n_residues
+    gcups = Q * D / (search_s * 1e9) if search_s > 0 else float("inf")
+    print(f"\nSearch date:\t\t\t{time.ctime()}")
+    print(f"Database:\t\t\t{args.db} ({db.n_seqs} sequences, "
+          f"{db.n_residues} residues)")
+    print(f"Substitution matrix:\t\t{args.sm}")
+    print(f"Gap open penalty:\t\t{args.gap_open}")
+    print(f"Gap extend penalty:\t\t{args.gap_extend}")
+    print(f"Setup time:\t\t\t{setup_s:.4f} seconds")
+    print(f"Search time:\t\t\t{search_s:.4f} seconds")
+    print(f"Search speed:\t\t\t{gcups:.2f} GCUPS")
+    print(f"Devices:\t\t\t{n_dev} ({jax.default_backend()})")
+    print(f"Group lanes:\t\t\t1024 (8x128 VPU tile)")
+    return 0
+
+
+def cmd_info(args):
+    import jax
+    print(f"JAX {jax.__version__}, backend: {jax.default_backend()}")
+    print(f"Process {jax.process_index()} of {jax.process_count()}")
+    print(f"Devices ({jax.device_count()} total, "
+          f"{jax.local_device_count()} local):")
+    for d in jax.devices():
+        mem = getattr(d, "memory_stats", lambda: None)()
+        line = (f"  [{d.id}] {d.device_kind} (platform={d.platform}, "
+                f"process={d.process_index})")
+        if mem and "bytes_limit" in mem:
+            line += f", HBM {mem['bytes_limit'] / 2**30:.1f} GiB"
+        print(line)
+    return 0
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return {"preprocess": cmd_preprocess, "search": cmd_search,
+            "info": cmd_info}[args.op](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

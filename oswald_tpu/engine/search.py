@@ -46,6 +46,10 @@ class SearchConfig:
     # residues of HBM).  "stream": rebuild each chunk's profile per query
     # inside the scan (for databases too big to hold profiles in HBM).
     profile_mode: str = "precompute"
+    # One jitted program per search (bins + top-k) instead of one dispatch
+    # per bin.  Measured slower on v5e (async multi-dispatch pipelines the
+    # per-call overhead under compute), so off by default.
+    fused_dispatch: bool = False
 
     def resolved_interpret(self) -> bool:
         if self.interpret is None:
@@ -213,6 +217,7 @@ class SearchEngine:
             np.zeros((0,), np.int32)
         self.valid = jnp.asarray(self.ids_flat >= 0)
         self.n_slots = int(self.valid.shape[0])
+        self._search_fns = {}
 
     def _pad_query(self, query):
         q = np.asarray(query, dtype=np.int32)
@@ -221,6 +226,38 @@ class SearchEngine:
         quantum = max(self.config.query_pad_quantum, self.config.u_rows)
         m_pad = -(-q.size // quantum) * quantum
         return np.concatenate([q, np.full(m_pad - q.size, DUMMY, np.int32)])
+
+    def _search_fn(self, k: int):
+        """One jitted program for a whole search: every bin's scan plus the
+        masked top-k, in a single dispatch (per-bin dispatch overhead is
+        ~25-30% of a 100k-sequence search through the remote runtime)."""
+        if k in self._search_fns:
+            return self._search_fns[k]
+        u, gb, acc = (self.config.u_rows, self.config.group_block,
+                      self._acc)
+        interpret = self._interpret
+        precompute = self.config.profile_mode == "precompute"
+        bin_lengths = tuple(self.db.bin_lengths)
+
+        @jax.jit
+        def f(q_pad, gaps, submat, stacks, valid):
+            outs = []
+            for L in bin_lengths:
+                if precompute:
+                    s = _search_bin_impl(q_pad, gaps, stacks[L], u,
+                                         interpret, gb, acc)
+                else:
+                    s = _search_bin_stream_impl(q_pad, gaps, submat,
+                                                stacks[L], u, interpret,
+                                                gb, acc)
+                outs.append(s.reshape(-1))
+            flat = jnp.concatenate(outs) if outs else \
+                jnp.zeros((0,), jnp.int32)
+            masked = jnp.where(valid, flat, -1)
+            return jax.lax.top_k(masked, k)
+
+        self._search_fns[k] = f
+        return f
 
     def score_all(self, query) -> jnp.ndarray:
         """Scores for every database sequence, in sorted-id slot order."""
@@ -241,9 +278,16 @@ class SearchEngine:
 
     def search(self, query, query_title: str = "query") -> SearchResult:
         t0 = time.perf_counter()
-        scores = self.score_all(query)
         k = min(self.config.top, self.db.n_seqs)
-        top_scores, top_slots = _topk(scores, self.valid, k)
+        if self.config.fused_dispatch:
+            q_pad = jnp.asarray(self._pad_query(query))
+            stacks = self.prof_stacks if \
+                self.config.profile_mode == "precompute" else self.seq_stacks
+            top_scores, top_slots = self._search_fn(k)(
+                q_pad, self.gaps, self.submat_dev, stacks, self.valid)
+        else:
+            scores = self.score_all(query)
+            top_scores, top_slots = _topk(scores, self.valid, k)
         top_scores = np.asarray(top_scores)
         # slots -> sorted-sequence ids (slot order preserves id order, so
         # top_k's lowest-index tie-break is a lowest-id tie-break)

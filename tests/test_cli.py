@@ -1,0 +1,77 @@
+"""CLI end-to-end: preprocess a FASTA, search it, parse the report, check
+scores against the numpy oracle."""
+
+import re
+
+import numpy as np
+import pytest
+
+from oswald_tpu.alphabet import ALPHABET, encode
+from oswald_tpu.submat import get_submat
+from oswald_tpu.core import sw_score_numpy
+from oswald_tpu.cli import main
+
+from conftest import random_protein
+
+
+@pytest.fixture
+def fasta_db(tmp_path, rng):
+    n = 40
+    seqs = [random_protein(rng, int(l))
+            for l in rng.integers(5, 120, size=n)]
+    path = tmp_path / "db.fasta"
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">dbseq{i} test protein {i}\n")
+            body = "".join(ALPHABET[c] for c in s)
+            for j in range(0, len(body), 60):
+                f.write(body[j:j + 60] + "\n")
+    return path, seqs
+
+
+def test_cli_preprocess_search_info(tmp_path, fasta_db, rng, capsys):
+    db_fasta, seqs = fasta_db
+    qseq = seqs[7][:40]
+    qpath = tmp_path / "q.fasta"
+    with open(qpath, "w") as f:
+        f.write(">myquery\n" + "".join(ALPHABET[c] for c in qseq) + "\n")
+
+    assert main(["preprocess", "-i", str(db_fasta),
+                 "-o", str(tmp_path / "db")]) == 0
+    assert main(["search", "-q", str(qpath), "-d", str(tmp_path / "db"),
+                 "-r", "5", "--devices", "1"]) == 0
+    out = capsys.readouterr().out
+
+    assert "Query description: \t\tmyquery" in out
+    assert "Search speed:" in out and "GCUPS" in out
+    # parse the top-5 table: lines "score\ttitle"
+    rows = re.findall(r"^(\d+)\tdbseq(\d+) ", out, re.M)
+    assert len(rows) == 5
+    sm = get_submat("blosum62")
+    want = sorted((sw_score_numpy(qseq, s, sm) for s in seqs),
+                  reverse=True)[:5]
+    assert [int(r[0]) for r in rows] == want
+    # the query is a prefix of dbseq7, so dbseq7 must be the top hit
+    assert rows[0][1] == "7"
+
+    assert main(["info"]) == 0
+    out = capsys.readouterr().out
+    assert "Devices" in out
+
+
+def test_cli_search_distributed(tmp_path, fasta_db, rng, capsys):
+    db_fasta, seqs = fasta_db
+    qpath = tmp_path / "q.fasta"
+    with open(qpath, "w") as f:
+        f.write(">q0\n" + "".join(ALPHABET[c] for c in seqs[3][:30]) + "\n")
+    assert main(["preprocess", "-i", str(db_fasta),
+                 "-o", str(tmp_path / "db")]) == 0
+    assert main(["search", "-q", str(qpath), "-d", str(tmp_path / "db"),
+                 "-r", "3", "--devices", "8"]) == 0
+    out = capsys.readouterr().out
+    rows = re.findall(r"^(\d+)\tdbseq(\d+) ", out, re.M)
+    assert len(rows) == 3
+    sm = get_submat("blosum62")
+    want = sorted((sw_score_numpy(seqs[3][:30], s, sm) for s in seqs),
+                  reverse=True)[:3]
+    assert [int(r[0]) for r in rows] == want
