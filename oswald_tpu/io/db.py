@@ -65,6 +65,57 @@ def _round_up(x: int, q: int) -> int:
     return -(-x // q) * q
 
 
+def _pack_groups_impl(seqs_flat, lengths, offsets, order, n_groups,
+                      group_Ls):
+    """Scatter sorted sequences into [L, 1024] lane-major groups.
+
+    Native path: reorder residues into sorted-concatenated layout once with
+    numpy fancy indexing, then the C++ OpenMP packer fills all groups.
+    Fallback: per-group numpy scatter via a flat index computation (no
+    Python per-slot loop).
+    """
+    n = len(order)
+    use_native = not os.environ.get("OSWALD_NO_NATIVE")
+    sorted_lens = lengths[order]
+    sorted_offs = np.concatenate([[0], np.cumsum(sorted_lens)])
+    # gather residues into sorted order
+    src_idx = (np.repeat(offsets[order], sorted_lens)
+               + _ragged_arange(sorted_lens)) if n else \
+        np.zeros(0, np.int64)
+    sorted_flat = np.asarray(seqs_flat, np.int8)[src_idx]
+
+    if use_native:
+        from oswald_tpu.io import native
+        if native.available():
+            group_starts = np.arange(n_groups + 1, dtype=np.int64) \
+                * GROUP_LANES
+            group_starts[-1] = n
+            return native.pack_groups(sorted_flat, sorted_offs,
+                                      group_starts, group_Ls)
+
+    out = []
+    for g in range(n_groups):
+        lo, hi = g * GROUP_LANES, min((g + 1) * GROUP_LANES, n)
+        L = group_Ls[g]
+        cnt = hi - lo
+        lens = sorted_lens[lo:hi]
+        seq = np.full((L, GROUP_LANES), DUMMY, dtype=np.int8)
+        # flat scatter: residue p of slot s lands at p*GROUP_LANES + s
+        slots = np.repeat(np.arange(cnt), lens)
+        pos = _ragged_arange(lens)
+        seq.reshape(-1)[pos * GROUP_LANES + slots] = \
+            sorted_flat[sorted_offs[lo]:sorted_offs[hi]]
+        out.append(seq)
+    return out
+
+
+def _ragged_arange(lens):
+    total = int(np.sum(lens))
+    out = np.arange(total, dtype=np.int64)
+    offs = np.repeat(np.cumsum(lens) - lens, lens)
+    return out - offs
+
+
 def pack_sequences(seqs_flat, lengths, titles=None) -> PackedDB:
     """Pack encoded sequences into length-binned lane groups.
 
@@ -81,21 +132,27 @@ def pack_sequences(seqs_flat, lengths, titles=None) -> PackedDB:
 
     bins = {}
     n_groups = -(-n // GROUP_LANES) if n else 0
+    group_Ls = []
     for g in range(n_groups):
         lo, hi = g * GROUP_LANES, min((g + 1) * GROUP_LANES, n)
-        glens = sorted_lengths[lo:hi]
-        L = _round_up(max(int(glens.max()), 1), LENGTH_QUANTUM)
-        seq = np.full((L, GROUP_LANES), DUMMY, dtype=np.int8)
+        group_Ls.append(
+            _round_up(max(int(sorted_lengths[lo:hi].max()), 1),
+                      LENGTH_QUANTUM))
+
+    # pack the residues: native C++ packer when built, numpy otherwise
+    packed = _pack_groups_impl(seqs_flat, lengths, offsets, order, n_groups,
+                               group_Ls)
+
+    for g in range(n_groups):
+        lo, hi = g * GROUP_LANES, min((g + 1) * GROUP_LANES, n)
+        L = group_Ls[g]
         lens = np.zeros(GROUP_LANES, dtype=np.int32)
         ids = np.full(GROUP_LANES, -1, dtype=np.int32)
-        for slot, k in enumerate(range(lo, hi)):
-            src = order[k]
-            l = int(lengths[src])
-            seq[:l, slot] = seqs_flat[offsets[src]:offsets[src] + l]
-            lens[slot] = l
-            ids[slot] = k                                # sorted-order index
+        cnt = hi - lo
+        lens[:cnt] = sorted_lengths[lo:hi]
+        ids[:cnt] = np.arange(lo, hi)                    # sorted-order index
         entry = bins.setdefault(L, {"seq": [], "len": [], "id": []})
-        entry["seq"].append(seq.reshape(L, SUBLANES, LANES))
+        entry["seq"].append(packed[g].reshape(L, SUBLANES, LANES))
         entry["len"].append(lens.reshape(SUBLANES, LANES))
         entry["id"].append(ids.reshape(SUBLANES, LANES))
 

@@ -86,10 +86,22 @@ def _ragged_arange(lens):
     return out - offs
 
 
-def parse_fasta(path: str):
-    """Parse a FASTA file; see parse_fasta_bytes."""
+def parse_fasta(path: str, use_native: bool | None = None):
+    """Parse a FASTA file; see parse_fasta_bytes.
+
+    Uses the native C++ scanner (oswald_tpu.io.native) when the shared
+    library is built, unless use_native=False or OSWALD_NO_NATIVE is set.
+    """
+    import os as _os
     with open(path, "rb") as f:
-        return parse_fasta_bytes(f.read())
+        data = f.read()
+    if use_native is None:
+        use_native = not _os.environ.get("OSWALD_NO_NATIVE")
+    if use_native:
+        from oswald_tpu.io import native
+        if native.available():
+            return native.parse_fasta_bytes(data)
+    return parse_fasta_bytes(data)
 
 
 def write_fasta(path: str, titles, seqs, width: int = 60):

@@ -1,0 +1,108 @@
+"""ctypes bindings for the native IO library (native/oswald_io.cpp).
+
+The native library accelerates the host-side data path (FASTA scan/encode
+and group packing — the role of the reference's C data layer,
+/root/reference/host/src/sequences.c).  It is optional: `available()`
+reports whether the shared library is present (build with
+`make -C native`), and oswald_tpu.io falls back to the vectorised numpy
+implementations when it is not.
+"""
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                 "liboswald_io.so"),
+    os.path.join(os.path.dirname(__file__), "liboswald_io.so"),
+]
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    for p in _LIB_PATHS:
+        p = os.path.abspath(p)
+        if os.path.exists(p):
+            try:
+                lib = ctypes.CDLL(p)
+            except OSError:
+                continue
+            c_i8p = ctypes.POINTER(ctypes.c_int8)
+            c_u8p = ctypes.POINTER(ctypes.c_uint8)
+            c_i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.oswald_fasta_count.restype = ctypes.c_int64
+            lib.oswald_fasta_count.argtypes = [c_u8p, ctypes.c_int64, c_i64p]
+            lib.oswald_fasta_encode.restype = ctypes.c_int64
+            lib.oswald_fasta_encode.argtypes = [
+                c_u8p, ctypes.c_int64, c_i8p, c_i64p, c_i64p, c_i64p]
+            lib.oswald_pack_groups.restype = None
+            lib.oswald_pack_groups.argtypes = [
+                c_i8p, c_i64p, c_i64p, ctypes.c_int64, c_i64p, c_i8p, c_i64p]
+            lib.oswald_io_version.restype = ctypes.c_int
+            _lib = lib
+            return _lib
+    return None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def parse_fasta_bytes(data: bytes):
+    """Native single-pass FASTA parse; same contract as
+    oswald_tpu.io.fasta.parse_fasta_bytes."""
+    lib = _load()
+    assert lib is not None, "native IO library not built (make -C native)"
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n = np.int64(buf.size)
+    ub = ctypes.c_int64(0)
+    nrec = lib.oswald_fasta_count(_ptr(buf, ctypes.c_uint8), n,
+                                  ctypes.byref(ub))
+    seq = np.empty(max(ub.value, 1), np.int8)
+    lengths = np.zeros(max(nrec, 1), np.int64)
+    hs = np.zeros(max(nrec, 1), np.int64)
+    he = np.zeros(max(nrec, 1), np.int64)
+    wrote = lib.oswald_fasta_encode(
+        _ptr(buf, ctypes.c_uint8), n, _ptr(seq, ctypes.c_int8),
+        _ptr(lengths, ctypes.c_int64), _ptr(hs, ctypes.c_int64),
+        _ptr(he, ctypes.c_int64))
+    titles = [data[hs[i]:he[i]].decode("utf-8", errors="replace")
+              for i in range(nrec)]
+    return titles, seq[:wrote], lengths[:nrec]
+
+
+def pack_groups(seqs_flat, offsets, group_starts, padded_lengths):
+    """Pack length-sorted sequences into [L_g, 1024] lane-major groups.
+
+    seqs_flat:      int8[total] concatenated encoded residues (sorted order)
+    offsets:        int64[n+1] per-sequence extents into seqs_flat
+    group_starts:   int64[G+1] first sequence index of each group
+    padded_lengths: int64[G]   padded length per group
+    Returns a list of int8[L_g, 1024] arrays.
+    """
+    lib = _load()
+    assert lib is not None, "native IO library not built (make -C native)"
+    seqs_flat = np.ascontiguousarray(seqs_flat, np.int8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    group_starts = np.ascontiguousarray(group_starts, np.int64)
+    Ls = np.ascontiguousarray(padded_lengths, np.int64)
+    G = len(Ls)
+    out_offsets = np.concatenate([[0], np.cumsum(Ls * 1024)]).astype(np.int64)
+    outs = np.empty(int(out_offsets[-1]), np.int8)
+    lib.oswald_pack_groups(
+        _ptr(seqs_flat, ctypes.c_int8), _ptr(offsets, ctypes.c_int64),
+        _ptr(group_starts, ctypes.c_int64), np.int64(G),
+        _ptr(Ls, ctypes.c_int64), _ptr(outs, ctypes.c_int8),
+        _ptr(out_offsets, ctypes.c_int64))
+    return [outs[out_offsets[g]:out_offsets[g + 1]].reshape(int(Ls[g]), 1024)
+            for g in range(G)]
