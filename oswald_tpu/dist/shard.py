@@ -43,6 +43,7 @@ from oswald_tpu.kernels import build_profile, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_impl, _search_bin_stream_impl,
 )
+from oswald_tpu.utils.metrics import Metrics
 
 AXIS = "d"
 
@@ -87,6 +88,45 @@ def shard_groups(bin_arrays: dict, n_shards: int) -> dict:
     }
 
 
+def process_group_slice(G_pad: int, mesh: Mesh):
+    """Contiguous [lo, hi) group range owned by this process on a 1-D mesh.
+
+    Groups shard evenly over mesh devices in order; a process owns the
+    union of its addressable devices' ranges (contiguous for standard
+    device orderings).  Multi-host input loading reads only this slice
+    (the .oswt arrays are memory-mapped, so the read is shard-sized).
+    """
+    devs = mesh.devices.reshape(-1)
+    per = G_pad // devs.size
+    me = jax.process_index()
+    local = [i for i, d in enumerate(devs) if d.process_index == me]
+    if not local:
+        return 0, 0
+    lo, hi = min(local), max(local) + 1
+    assert local == list(range(lo, hi)), \
+        "process devices not contiguous in mesh order"
+    return lo * per, hi * per
+
+
+def _put_sharded(mesh: Mesh, spec: P, global_np, axis: int):
+    """Place a host array on the mesh, sharded on `axis` per `spec`.
+
+    Single-process: plain device_put of the full array.  Multi-process
+    SPMD: every process passes its own slice of the global array (or the
+    full array, from which the local slice is taken) and the global sharded
+    Array is assembled from process-local data without any cross-host
+    transfer.
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(global_np, sharding)
+    lo, hi = process_group_slice(global_np.shape[axis], mesh)
+    idx = [slice(None)] * global_np.ndim
+    idx[axis] = slice(lo, hi)
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(global_np[tuple(idx)]))
+
+
 class DistributedSearchEngine:
     """Database search over a device mesh with collective top-k merge.
 
@@ -117,6 +157,8 @@ class DistributedSearchEngine:
             jax.vmap(build_profile, in_axes=(0, None)),
             out_shardings=NamedSharding(self.mesh, P(None, AXIS)))
 
+        self.metrics = Metrics()
+        t_setup = time.perf_counter()
         self.prof_stacks = {}
         self.seq_stacks = {}
         self.ids = {}
@@ -131,16 +173,17 @@ class DistributedSearchEngine:
             chunks = np.ascontiguousarray(
                 padded["seq"].reshape(G, C, CHUNK_WIDTH, SUBLANES, LANES)
                 .transpose(1, 0, 2, 3, 4))
-            seq_sharded = jax.device_put(
-                chunks, NamedSharding(self.mesh, P(None, AXIS)))
+            seq_sharded = _put_sharded(self.mesh, P(None, AXIS), chunks,
+                                       axis=1)
             if self.config.profile_mode == "precompute":
                 self.prof_stacks[L] = build_sharded(seq_sharded,
                                                     self.submat_dev)
             else:
                 self.seq_stacks[L] = seq_sharded
-            self.ids[L] = jax.device_put(
-                np.ascontiguousarray(padded["id"]),
-                NamedSharding(self.mesh, P(AXIS)))
+            self.ids[L] = _put_sharded(self.mesh, P(AXIS),
+                                       np.ascontiguousarray(padded["id"]),
+                                       axis=0)
+        self.metrics.add("engine_setup", time.perf_counter() - t_setup)
 
     def _bin_fn(self, L: int, k: int):
         """Compiled per-bin shard_map: (q, gaps, data, ids) -> (scores[k],
@@ -209,6 +252,7 @@ class DistributedSearchEngine:
         order = np.lexsort((ids, -scores))[:k]
         scores, ids = scores[order], ids[order]
         elapsed = time.perf_counter() - t0
+        self.metrics.add("search", elapsed)
         titles = [self.db.title_of(int(i)) for i in ids]
         return SearchResult(query_title=query_title,
                             query_length=int(np.asarray(query).size),

@@ -24,6 +24,7 @@ from oswald_tpu.alphabet import DUMMY
 from oswald_tpu.submat import get_submat
 from oswald_tpu.io.db import PackedDB, SUBLANES, LANES, GROUP_LANES
 from oswald_tpu.kernels import sw_chunk, build_profile, CHUNK_WIDTH
+from oswald_tpu.utils.metrics import Metrics
 
 
 @dataclasses.dataclass
@@ -179,10 +180,12 @@ class SearchEngine:
         # (precompute mode) or [C, G, W, 8, 128] int8 residues (stream mode).
         # G is padded to a multiple of group_block with dummy groups (DUMMY
         # residues score 0 everywhere, ids -1 mask them out of top-k).
+        self.metrics = Metrics()
         gb = self.config.group_block
         self.prof_stacks = {}
         self.seq_stacks = {}
         ids_flat = []
+        t_setup = time.perf_counter()
         for L in db.bin_lengths:
             seq_np = np.asarray(db.bins[L]["seq"])
             ids_np = np.asarray(db.bins[L]["id"])
@@ -218,6 +221,7 @@ class SearchEngine:
         self.valid = jnp.asarray(self.ids_flat >= 0)
         self.n_slots = int(self.valid.shape[0])
         self._search_fns = {}
+        self.metrics.add("engine_setup", time.perf_counter() - t_setup)
 
     def _pad_query(self, query):
         q = np.asarray(query, dtype=np.int32)
@@ -293,6 +297,7 @@ class SearchEngine:
         # top_k's lowest-index tie-break is a lowest-id tie-break)
         top_ids = self.ids_flat[np.asarray(top_slots)]
         elapsed = time.perf_counter() - t0
+        self.metrics.add("search", elapsed)
         titles = [self.db.title_of(int(i)) for i in top_ids]
         return SearchResult(query_title=query_title,
                             query_length=int(np.asarray(query).size),

@@ -94,3 +94,28 @@ def test_engine_empty_query(rng):
     eng = SearchEngine(db, SearchConfig(top=5))
     res = eng.search(np.zeros(0, np.int8))
     assert (res.scores == 0).all()
+
+
+def test_engine_very_long_query(rng):
+    """Titin-shaped config at reduced scale: query spans many row blocks
+    (m=640 -> 80 blocks of 8) against a multi-chunk bin."""
+    db, seqs, lengths = _make_db(rng, 64, 250)
+    eng = SearchEngine(db, SearchConfig(top=5))
+    q = random_protein(rng, 640)
+    got = np.asarray(eng.score_all(q))[np.asarray(eng.valid)]
+    want = _oracle_scores(q, db, seqs, lengths, get_submat("blosum62"), 10, 2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_gap_configs(rng):
+    """Gap penalty extremes within the reference's validated range
+    (arguments.c: open 0..255 was for uint8 packing; semantics here are
+    unbounded int32)."""
+    db, seqs, lengths = _make_db(rng, 600, 120)
+    q = random_protein(rng, 50)
+    for og, eg in [(0, 1), (25, 1), (3, 3)]:
+        eng = SearchEngine(db, SearchConfig(open_gap=og, extend_gap=eg))
+        got = np.asarray(eng.score_all(q))[np.asarray(eng.valid)]
+        want = _oracle_scores(q, db, seqs, lengths, get_submat("blosum62"),
+                              og, eg)
+        np.testing.assert_array_equal(got, want)
