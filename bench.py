@@ -41,6 +41,10 @@ def main():
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--matrix", default="blosum62")
     p.add_argument("--u-rows", type=int, default=8)
+    p.add_argument("--suite", action="store_true",
+                   help="also run the BASELINE.json config suite "
+                        "(query-length sweep, multi-query batch, matrices); "
+                        "results to stderr")
     args = p.parse_args()
 
     backend = jax.default_backend()
@@ -80,9 +84,59 @@ def main():
         "top1": int(res.scores[0]),
     }
     print(json.dumps(info), file=sys.stderr)
+
+    if args.suite:
+        run_suite(db, eng, rng, on_tpu, file=sys.stderr)
+
     print(json.dumps({"metric": "GCUPS", "value": round(gcups, 2),
                       "unit": "GCUPS",
                       "vs_baseline": round(gcups / 179.0, 3)}))
+
+
+def run_suite(db, eng, rng, on_tpu, file):
+    """BASELINE.json configs 3 and 4: query-length sweep and multi-query
+    batch; plus a matrix sweep (compiled programs are matrix-independent,
+    so this mostly measures profile rebuild)."""
+    from oswald_tpu.engine import SearchEngine, SearchConfig
+
+    # config 3: query-length sweep (titin-like 5478 included on TPU)
+    for qlen in ([64, 512, 2048, 5478] if on_tpu else [64]):
+        q = rng.integers(0, 23, size=qlen).astype(np.int8)
+        eng.search(q)                      # compile
+        t0 = time.perf_counter()
+        eng.search(q)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"config": "qlen_sweep", "qlen": qlen,
+                          "gcups": round(qlen * db.n_residues / dt / 1e9, 2),
+                          "search_s": round(dt, 4)}), file=file)
+
+    # config 4: 20-query batch
+    nq = 20 if on_tpu else 3
+    queries = [rng.integers(0, 23, size=int(l)).astype(np.int8)
+               for l in rng.integers(100, 400, size=nq)]
+    eng.search_many(queries)               # compile
+    t0 = time.perf_counter()
+    eng.search_many(queries)
+    dt = time.perf_counter() - t0
+    Q = sum(len(q) for q in queries)
+    print(json.dumps({"config": "multi_query", "n_queries": nq,
+                      "gcups": round(Q * db.n_residues / dt / 1e9, 2),
+                      "search_s": round(dt, 4)}), file=file)
+
+    # matrices: engine setup (profile gather) + one search per matrix
+    for m in (("pam30", "blosum90") if on_tpu else ("pam30",)):
+        t0 = time.perf_counter()
+        e2 = SearchEngine(db, SearchConfig(matrix=m))
+        setup = time.perf_counter() - t0
+        q = rng.integers(0, 23, size=256).astype(np.int8)
+        e2.search(q)
+        t0 = time.perf_counter()
+        e2.search(q)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"config": "matrix", "matrix": m,
+                          "setup_s": round(setup, 2),
+                          "gcups": round(256 * db.n_residues / dt / 1e9, 2)}),
+              file=file)
 
 
 if __name__ == "__main__":

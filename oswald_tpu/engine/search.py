@@ -143,11 +143,31 @@ def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
     return scores.astype(jnp.int32)
 
 
+def _search_bin_batch_impl(q_batch, gaps, prof_stack, u_rows, interpret,
+                           group_block=1, acc_dtype=jnp.int32):
+    """Scores for a batch of same-padded-length queries against one bin.
+
+    q_batch: int32[Q, m_pad].  Returns int32[Q, G, 8, 128].  Queries run
+    sequentially inside one compiled program (a scan), so the per-dispatch
+    overhead and the profile residency are amortised over the whole batch —
+    the reference amortises the same way by looping queries inside one
+    chunk's device round (FPGAsearch.c:204-219).
+    """
+    def one(_, q_pad):
+        return None, _search_bin_impl(q_pad, gaps, prof_stack, u_rows,
+                                      interpret, group_block, acc_dtype)
+    _, scores = jax.lax.scan(one, None, q_batch)
+    return scores
+
+
 _search_bin = jax.jit(_search_bin_impl,
                       static_argnames=("u_rows", "interpret", "group_block",
                                        "acc_dtype"))
 _search_bin_stream = jax.jit(
     _search_bin_stream_impl,
+    static_argnames=("u_rows", "interpret", "group_block", "acc_dtype"))
+_search_bin_batch = jax.jit(
+    _search_bin_batch_impl,
     static_argnames=("u_rows", "interpret", "group_block", "acc_dtype"))
 
 
@@ -304,6 +324,49 @@ class SearchEngine:
                             scores=top_scores, seq_ids=top_ids,
                             titles=titles, elapsed=elapsed)
 
-    def search_many(self, queries, titles=None):
+    def search_many(self, queries, titles=None, batch: bool = True):
+        """Search a list of queries.  With batch=True (default) queries are
+        grouped by padded length and each group runs as ONE compiled
+        program per bin (amortising dispatch + profile residency); the
+        reference's analog is its per-query kernel loop inside one chunk
+        round (FPGAsearch.c:204-219)."""
         titles = titles or [f"query{i}" for i in range(len(queries))]
-        return [self.search(q, t) for q, t in zip(queries, titles)]
+        if not batch or len(queries) <= 1 or \
+                self.config.profile_mode != "precompute":
+            return [self.search(q, t) for q, t in zip(queries, titles)]
+
+        t0 = time.perf_counter()
+        padded = [self._pad_query(q) for q in queries]
+        by_len = {}
+        for i, qp in enumerate(padded):
+            by_len.setdefault(qp.shape[0], []).append(i)
+
+        results = [None] * len(queries)
+        k = min(self.config.top, self.db.n_seqs)
+        for m_pad, idxs in by_len.items():
+            qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
+            outs = []
+            for L in self.db.bin_lengths:
+                s = _search_bin_batch(qb, self.gaps, self.prof_stacks[L],
+                                      self.config.u_rows, self._interpret,
+                                      self.config.group_block, self._acc)
+                outs.append(s.reshape(len(idxs), -1))
+            flat = jnp.concatenate(outs, axis=1)
+            top_scores, top_slots = jax.vmap(
+                lambda sc: _topk(sc, self.valid, k))(flat)
+            top_scores = np.asarray(top_scores)
+            top_slots = np.asarray(top_slots)
+            for row, i in enumerate(idxs):
+                ids = self.ids_flat[top_slots[row]]
+                results[i] = SearchResult(
+                    query_title=titles[i],
+                    query_length=int(np.asarray(queries[i]).size),
+                    scores=top_scores[row], seq_ids=ids,
+                    titles=[self.db.title_of(int(j)) for j in ids],
+                    elapsed=0.0)
+        elapsed = time.perf_counter() - t0
+        self.metrics.add("search_batch", elapsed)
+        per = elapsed / max(len(queries), 1)
+        for r in results:
+            r.elapsed = per
+        return results
