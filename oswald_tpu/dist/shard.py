@@ -42,6 +42,7 @@ from oswald_tpu.io.db import PackedDB, SUBLANES, LANES, GROUP_LANES
 from oswald_tpu.kernels import build_profile, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_impl, _search_bin_stream_impl,
+    pad_query,
 )
 from oswald_tpu.utils.metrics import Metrics
 
@@ -163,23 +164,39 @@ class DistributedSearchEngine:
         self.seq_stacks = {}
         self.ids = {}
         self._bin_fns = {}
+        build_tail = jax.jit(
+            build_profile,
+            out_shardings=NamedSharding(self.mesh, P(AXIS)))
+
         for L in db.bin_lengths:
             # every shard's local group count must also divide group_block
             padded = shard_groups(db.bins[L],
                                   self.ndev * self.config.group_block)
             G = padded["seq"].shape[0]
             C = L // CHUNK_WIDTH
-            # [C, G, W, 8, 128], group axis sharded over the mesh
+            tail_w = L % CHUNK_WIDTH
+            # [C, G, W, 8, 128], group axis sharded over the mesh; plus an
+            # optional 64-position tail chunk [G, 64, 8, 128]
+            seq_all = padded["seq"]
             chunks = np.ascontiguousarray(
-                padded["seq"].reshape(G, C, CHUNK_WIDTH, SUBLANES, LANES)
+                seq_all[:, :C * CHUNK_WIDTH]
+                .reshape(G, C, CHUNK_WIDTH, SUBLANES, LANES)
                 .transpose(1, 0, 2, 3, 4))
             seq_sharded = _put_sharded(self.mesh, P(None, AXIS), chunks,
                                        axis=1)
+            tail_sharded = None
+            if tail_w:
+                tail_sharded = _put_sharded(
+                    self.mesh, P(AXIS),
+                    np.ascontiguousarray(seq_all[:, C * CHUNK_WIDTH:]),
+                    axis=0)
             if self.config.profile_mode == "precompute":
-                self.prof_stacks[L] = build_sharded(seq_sharded,
-                                                    self.submat_dev)
+                main_prof = build_sharded(seq_sharded, self.submat_dev)
+                tail_prof = build_tail(tail_sharded, self.submat_dev) \
+                    if tail_sharded is not None else None
+                self.prof_stacks[L] = (main_prof, tail_prof)
             else:
-                self.seq_stacks[L] = seq_sharded
+                self.seq_stacks[L] = (seq_sharded, tail_sharded)
             self.ids[L] = _put_sharded(self.mesh, P(AXIS),
                                        np.ascontiguousarray(padded["id"]),
                                        axis=0)
@@ -196,12 +213,14 @@ class DistributedSearchEngine:
         precompute = self.config.profile_mode == "precompute"
 
         def local_fn(q_pad, gaps, submat, data, ids):
+            main, tail = data
             if precompute:
-                scores = _search_bin_impl(q_pad, gaps, data, u_rows,
-                                          interpret, gb, acc)
+                scores = _search_bin_impl(q_pad, gaps, main, u_rows,
+                                          interpret, gb, acc, tail)
             else:
-                scores = _search_bin_stream_impl(q_pad, gaps, submat, data,
-                                                 u_rows, interpret, gb, acc)
+                scores = _search_bin_stream_impl(q_pad, gaps, submat, main,
+                                                 u_rows, interpret, gb, acc,
+                                                 tail)
             flat = scores.reshape(-1)
             idsf = ids.reshape(-1)
             masked = jnp.where(idsf >= 0, flat, -1)
@@ -223,12 +242,7 @@ class DistributedSearchEngine:
         return fn
 
     def _pad_query(self, query):
-        q = np.asarray(query, dtype=np.int32)
-        if q.size == 0:
-            q = np.full(1, DUMMY, np.int32)
-        quantum = max(self.config.query_pad_quantum, self.config.u_rows)
-        m_pad = -(-q.size // quantum) * quantum
-        return np.concatenate([q, np.full(m_pad - q.size, DUMMY, np.int32)])
+        return pad_query(query, self.config)
 
     def search(self, query, query_title: str = "query") -> SearchResult:
         t0 = time.perf_counter()

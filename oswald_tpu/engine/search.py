@@ -37,7 +37,13 @@ class SearchConfig:
     group_block: int = 2        # independent groups interleaved per kernel
                                 # step (VPU latency hiding); bins are padded
                                 # with score-inert dummy groups to a multiple
-    query_pad_quantum: int = 64   # pad m to this to limit compile variants
+    # Query padding: m rounds up to a multiple of max(query_pad_quantum,
+    # 2^floor(log2(m))/8).  The adaptive term caps dummy-row compute at
+    # ~12.5% while keeping the number of distinct compiled query shapes
+    # logarithmic in the length range (dummy query rows cost real DP work,
+    # unlike the reference whose per-query kernel launches take m verbatim,
+    # FPGAsearch.c:204-219).
+    query_pad_quantum: int = 64
     interpret: bool | None = None  # None = auto (True off-TPU)
     # Kernel accumulator: "float32" issues ~10% faster than "int32" on the
     # VPU and is exact for SW scores (integers far below 2^24; max possible
@@ -76,10 +82,13 @@ class SearchResult:
 
 
 def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
-                     group_block=1, acc_dtype=jnp.int32):
+                     group_block=1, acc_dtype=jnp.int32, prof_tail=None):
     """Scan all column chunks of one bin; returns [G, 8, 128] int32 scores.
 
-    prof_stack: int8[C, G, 24, POS, 128] precomputed score profiles.
+    prof_stack: int8[C, G, 24, POS, 128] precomputed score profiles for the
+    full-width (128-position) chunks; prof_tail: optional int8[G, 24,
+    POS/2, 128] profile for a trailing 64-position chunk (bins whose padded
+    length is an odd multiple of 64).
     acc_dtype: kernel accumulator type — int32 or float32 (both exact for
     protein SW scores; fp32 issues slightly faster on the VPU).
     Not jitted so it can be used inside shard_map (oswald_tpu.dist).
@@ -90,7 +99,7 @@ def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
     colE = jnp.zeros_like(colH)
     scores = jnp.zeros((G, SUBLANES, LANES), acc_dtype)
 
-    def step(carry, prof_c):
+    def one_chunk(carry, prof_c):
         colH, colE, scores = carry
         colHd = jnp.concatenate(
             [jnp.zeros((G, 1, SUBLANES, LANES), acc_dtype), colH[:, :-1]],
@@ -102,15 +111,18 @@ def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
                                       interpret=interpret)
         return (colH, colE, scores), None
 
-    (colH, colE, scores), _ = jax.lax.scan(step, (colH, colE, scores),
-                                           prof_stack)
-    return scores.astype(jnp.int32)
+    carry, _ = jax.lax.scan(one_chunk, (colH, colE, scores), prof_stack)
+    if prof_tail is not None:
+        carry, _ = one_chunk(carry, prof_tail)
+    return carry[2].astype(jnp.int32)
 
 
 def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
-                            interpret, group_block=1, acc_dtype=jnp.int32):
+                            interpret, group_block=1, acc_dtype=jnp.int32,
+                            seq_tail=None):
     """Like `_search_bin_impl` but builds each chunk's score profile on the
-    fly from the packed residues (seq_chunks: int8[C, G, W, 8, 128]).
+    fly from the packed residues (seq_chunks: int8[C, G, W, 8, 128],
+    seq_tail: optional int8[G, W/2, 8, 128]).
 
     Trades one extra profile gather per query for 24x less HBM capacity —
     the mode for databases whose precomputed profiles would not fit HBM
@@ -125,7 +137,7 @@ def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
     colE = jnp.zeros_like(colH)
     scores = jnp.zeros((G, SUBLANES, LANES), acc_dtype)
 
-    def step(carry, seq_c):
+    def one_chunk(carry, seq_c):
         colH, colE, scores = carry
         prof_c = build_profile(seq_c, submat)
         colHd = jnp.concatenate(
@@ -138,13 +150,15 @@ def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
                                       interpret=interpret)
         return (colH, colE, scores), None
 
-    (colH, colE, scores), _ = jax.lax.scan(step, (colH, colE, scores),
-                                           seq_chunks)
-    return scores.astype(jnp.int32)
+    carry, _ = jax.lax.scan(one_chunk, (colH, colE, scores), seq_chunks)
+    if seq_tail is not None:
+        carry, _ = one_chunk(carry, seq_tail)
+    return carry[2].astype(jnp.int32)
 
 
 def _search_bin_batch_impl(q_batch, gaps, prof_stack, u_rows, interpret,
-                           group_block=1, acc_dtype=jnp.int32):
+                           group_block=1, acc_dtype=jnp.int32,
+                           prof_tail=None):
     """Scores for a batch of same-padded-length queries against one bin.
 
     q_batch: int32[Q, m_pad].  Returns int32[Q, G, 8, 128].  Queries run
@@ -155,7 +169,8 @@ def _search_bin_batch_impl(q_batch, gaps, prof_stack, u_rows, interpret,
     """
     def one(_, q_pad):
         return None, _search_bin_impl(q_pad, gaps, prof_stack, u_rows,
-                                      interpret, group_block, acc_dtype)
+                                      interpret, group_block, acc_dtype,
+                                      prof_tail)
     _, scores = jax.lax.scan(one, None, q_batch)
     return scores
 
@@ -175,6 +190,33 @@ _search_bin_batch = jax.jit(
 def _topk(scores_flat, valid, k):
     masked = jnp.where(valid, scores_flat, -1)
     return jax.lax.top_k(masked, k)
+
+
+def pad_query(query, config: "SearchConfig"):
+    """Pad an encoded query with DUMMY rows per config.query_pad_quantum
+    (adaptive: see SearchConfig)."""
+    q = np.asarray(query, dtype=np.int32)
+    if q.size == 0:
+        q = np.full(1, DUMMY, np.int32)
+    quantum = max(config.query_pad_quantum, config.u_rows,
+                  (1 << max(int(q.size).bit_length() - 1, 0)) // 8)
+    m_pad = -(-q.size // quantum) * quantum
+    return np.concatenate([q, np.full(m_pad - q.size, DUMMY, np.int32)])
+
+
+def _split_chunks(seq, L):
+    """[G, L, 8, 128] -> ([G, C, 128, 8, 128] full chunks,
+    [G, 64, 8, 128] tail or None).  L is a multiple of LENGTH_QUANTUM=64;
+    an odd multiple leaves a half-width tail chunk."""
+    G = seq.shape[0]
+    C = L // CHUNK_WIDTH
+    main = seq[:, :C * CHUNK_WIDTH].reshape(G, C, CHUNK_WIDTH, SUBLANES,
+                                            LANES)
+    tail = None
+    if L % CHUNK_WIDTH:
+        assert L % CHUNK_WIDTH == CHUNK_WIDTH // 2, L
+        tail = seq[:, C * CHUNK_WIDTH:]
+    return main, tail
 
 
 class SearchEngine:
@@ -220,15 +262,18 @@ class SearchEngine:
                                      np.int32)])
             ids_flat.append(ids_np.reshape(-1))
             seq = jnp.asarray(np.ascontiguousarray(seq_np))
-            C = L // CHUNK_WIDTH
-            chunks = seq.reshape(G_pad, C, CHUNK_WIDTH, SUBLANES, LANES)
+            main, tail = _split_chunks(seq, L)
             if self.config.profile_mode == "precompute":
-                profs = []
-                for c in range(C):
-                    profs.append(build_profile(chunks[:, c], self.submat))
-                self.prof_stacks[L] = jnp.stack(profs)
+                profs = [build_profile(main[:, c], self.submat)
+                         for c in range(main.shape[1])]
+                main_prof = jnp.stack(profs) if profs else jnp.zeros(
+                    (0, G_pad, 24, CHUNK_WIDTH * SUBLANES, LANES), jnp.int8)
+                tail_prof = build_profile(tail, self.submat) \
+                    if tail is not None else None
+                self.prof_stacks[L] = (main_prof, tail_prof)
             elif self.config.profile_mode == "stream":
-                self.seq_stacks[L] = jnp.asarray(chunks.transpose(1, 0, 2, 3, 4))
+                self.seq_stacks[L] = (
+                    jnp.asarray(main.transpose(1, 0, 2, 3, 4)), tail)
             else:
                 raise ValueError(
                     f"unknown profile_mode {self.config.profile_mode!r}")
@@ -244,12 +289,7 @@ class SearchEngine:
         self.metrics.add("engine_setup", time.perf_counter() - t_setup)
 
     def _pad_query(self, query):
-        q = np.asarray(query, dtype=np.int32)
-        if q.size == 0:
-            q = np.full(1, DUMMY, np.int32)
-        quantum = max(self.config.query_pad_quantum, self.config.u_rows)
-        m_pad = -(-q.size // quantum) * quantum
-        return np.concatenate([q, np.full(m_pad - q.size, DUMMY, np.int32)])
+        return pad_query(query, self.config)
 
     def _search_fn(self, k: int):
         """One jitted program for a whole search: every bin's scan plus the
@@ -267,13 +307,14 @@ class SearchEngine:
         def f(q_pad, gaps, submat, stacks, valid):
             outs = []
             for L in bin_lengths:
+                main, tail = stacks[L]
                 if precompute:
-                    s = _search_bin_impl(q_pad, gaps, stacks[L], u,
-                                         interpret, gb, acc)
+                    s = _search_bin_impl(q_pad, gaps, main, u,
+                                         interpret, gb, acc, tail)
                 else:
                     s = _search_bin_stream_impl(q_pad, gaps, submat,
-                                                stacks[L], u, interpret,
-                                                gb, acc)
+                                                main, u, interpret,
+                                                gb, acc, tail)
                 outs.append(s.reshape(-1))
             flat = jnp.concatenate(outs) if outs else \
                 jnp.zeros((0,), jnp.int32)
@@ -289,14 +330,17 @@ class SearchEngine:
         outs = []
         for L in self.db.bin_lengths:
             if self.config.profile_mode == "precompute":
-                s = _search_bin(q_pad, self.gaps, self.prof_stacks[L],
+                main, tail = self.prof_stacks[L]
+                s = _search_bin(q_pad, self.gaps, main,
                                 self.config.u_rows, self._interpret,
-                                self.config.group_block, self._acc)
+                                self.config.group_block, self._acc, tail)
             else:
+                main, tail = self.seq_stacks[L]
                 s = _search_bin_stream(q_pad, self.gaps, self.submat_dev,
-                                       self.seq_stacks[L],
-                                       self.config.u_rows, self._interpret,
-                                       self.config.group_block, self._acc)
+                                       main, self.config.u_rows,
+                                       self._interpret,
+                                       self.config.group_block, self._acc,
+                                       tail)
             outs.append(s.reshape(-1))
         return jnp.concatenate(outs) if outs else jnp.zeros((0,), jnp.int32)
 
@@ -347,9 +391,11 @@ class SearchEngine:
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
             outs = []
             for L in self.db.bin_lengths:
-                s = _search_bin_batch(qb, self.gaps, self.prof_stacks[L],
+                main, tail = self.prof_stacks[L]
+                s = _search_bin_batch(qb, self.gaps, main,
                                       self.config.u_rows, self._interpret,
-                                      self.config.group_block, self._acc)
+                                      self.config.group_block, self._acc,
+                                      tail)
                 outs.append(s.reshape(len(idxs), -1))
             flat = jnp.concatenate(outs, axis=1)
             top_scores, top_slots = jax.vmap(

@@ -32,7 +32,12 @@ from oswald_tpu.io.fasta import parse_fasta
 SUBLANES = 8
 LANES = 128
 GROUP_LANES = SUBLANES * LANES          # 1024 sequences per group
-LENGTH_QUANTUM = 128                    # bin granularity = kernel chunk width
+# Bin granularity: half the kernel chunk width.  Bins whose padded length is
+# an odd multiple of 64 stream through the kernel as full 128-position
+# chunks plus one 64-position tail chunk; the finer quantum halves the
+# dummy-column padding (the reference pads to 28-residue multiples,
+# /root/reference/host/src/sequences.c:461-463).
+LENGTH_QUANTUM = 64
 
 FORMAT_VERSION = 1
 

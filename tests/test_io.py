@@ -81,7 +81,7 @@ def test_pack_roundtrip(rng):
     order = np.argsort(lengths, kind="stable")
     seen = 0
     for L in db.bin_lengths:
-        assert L % 128 == 0
+        assert L % 64 == 0          # LENGTH_QUANTUM
         G = db.bins[L]["seq"].shape[0]
         for g in range(G):
             for sid, slen, s in unpack_group(db, L, g):
