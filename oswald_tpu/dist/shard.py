@@ -233,9 +233,11 @@ class DistributedSearchEngine:
             top_s, top_i = jax.lax.top_k(all_s, kk)
             return top_s, jnp.take(all_ids, top_i)
 
+        # data = (main, tail): main [C, G, ...] shards on axis 1, the tail
+        # [G, ...] (or None) on axis 0
         fn = jax.jit(jax.shard_map(
             local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), P(None, AXIS), P(AXIS)),
+            in_specs=(P(), P(), P(), (P(None, AXIS), P(AXIS)), P(AXIS)),
             out_specs=(P(), P()),
             check_vma=False))
         self._bin_fns[key] = fn

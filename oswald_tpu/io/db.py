@@ -121,11 +121,52 @@ def _ragged_arange(lens):
     return out - offs
 
 
-def pack_sequences(seqs_flat, lengths, titles=None) -> PackedDB:
+_BIN_COST_RESIDUES = 262_144
+
+
+def _partition_bins(group_Ls, lane_counts, bin_cost=_BIN_COST_RESIDUES):
+    """Optimal contiguous partition of ascending group lengths into bins.
+
+    Each bin costs `bin_cost` padded-residue-equivalents of fixed overhead
+    (one compiled program + one dispatch per search) plus the padding from
+    raising its groups to the bin's max length.  Exact O(N^2) DP; N is the
+    group count (~100 per 100k sequences), so this is free.  Returns the
+    padded length per group.
+    """
+    N = len(group_Ls)
+    if N == 0:
+        return []
+    INF = float("inf")
+    best = [INF] * (N + 1)
+    cut = [0] * (N + 1)
+    best[0] = 0.0
+    for j in range(1, N + 1):
+        L_bin = group_Ls[j - 1]              # ascending => max of any run
+        lanes_sum = 0
+        for i in range(j - 1, -1, -1):
+            lanes_sum += lane_counts[i]
+            c = best[i] + bin_cost + L_bin * lanes_sum
+            if c < best[j]:
+                best[j] = c
+                cut[j] = i
+    out = [0] * N
+    j = N
+    while j > 0:
+        i = cut[j]
+        for g in range(i, j):
+            out[g] = group_Ls[j - 1]
+        j = i
+    return out
+
+
+def pack_sequences(seqs_flat, lengths, titles=None,
+                   bin_cost=_BIN_COST_RESIDUES) -> PackedDB:
     """Pack encoded sequences into length-binned lane groups.
 
     seqs_flat: int8[D] concatenated encoded residues
     lengths:   int[n]  per-sequence lengths (order = record order)
+    bin_cost:  fixed per-bin overhead (padded-residue-equivalents) for the
+               bin partition optimizer; higher = fewer, more-padded bins
     """
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(lengths)
@@ -138,11 +179,14 @@ def pack_sequences(seqs_flat, lengths, titles=None) -> PackedDB:
     bins = {}
     n_groups = -(-n // GROUP_LANES) if n else 0
     group_Ls = []
+    lane_counts = []
     for g in range(n_groups):
         lo, hi = g * GROUP_LANES, min((g + 1) * GROUP_LANES, n)
         group_Ls.append(
             _round_up(max(int(sorted_lengths[lo:hi].max()), 1),
                       LENGTH_QUANTUM))
+        lane_counts.append(GROUP_LANES)      # padded lanes all cost compute
+    group_Ls = _partition_bins(group_Ls, lane_counts, bin_cost)
 
     # pack the residues: native C++ packer when built, numpy otherwise
     packed = _pack_groups_impl(seqs_flat, lengths, offsets, order, n_groups,

@@ -16,12 +16,13 @@ from oswald_tpu.dist import DistributedSearchEngine, make_device_mesh, \
 from conftest import random_protein
 
 
-def _make_db(rng, n, lmax):
+def _make_db(rng, n, lmax, bin_cost=None):
     lengths = rng.integers(1, lmax, size=n)
     seqs = [random_protein(rng, int(l)) for l in lengths]
     flat = np.concatenate(seqs)
     titles = [f"seq{i}" for i in range(n)]
-    return pack_sequences(flat, lengths, titles), seqs, lengths
+    kw = {"bin_cost": bin_cost} if bin_cost is not None else {}
+    return pack_sequences(flat, lengths, titles, **kw), seqs, lengths
 
 
 def test_mesh_has_8_devices():
@@ -42,7 +43,9 @@ def test_shard_groups_pads_to_multiple():
 
 @pytest.mark.parametrize("profile_mode", ["precompute", "stream"])
 def test_distributed_matches_single_chip(rng, profile_mode):
-    db, seqs, lengths = _make_db(rng, 2100, 220)
+    # bin_cost=1 forces per-group bins including odd-64 tails
+    db, seqs, lengths = _make_db(rng, 2100, 180, bin_cost=1)
+    assert any(L % 128 for L in db.bin_lengths), "want a tail-chunk bin"
     cfg = SearchConfig(top=10, profile_mode=profile_mode)
     single = SearchEngine(db, SearchConfig(top=10))
     dist = DistributedSearchEngine(db, cfg)

@@ -12,12 +12,13 @@ from oswald_tpu.engine import SearchEngine, SearchConfig
 from conftest import random_protein
 
 
-def _make_db(rng, n, lmax):
+def _make_db(rng, n, lmax, bin_cost=None):
     lengths = rng.integers(1, lmax, size=n)
     seqs = [random_protein(rng, int(l)) for l in lengths]
     flat = np.concatenate(seqs)
     titles = [f"seq{i}" for i in range(n)]
-    return pack_sequences(flat, lengths, titles), seqs, lengths
+    kw = {"bin_cost": bin_cost} if bin_cost is not None else {}
+    return pack_sequences(flat, lengths, titles, **kw), seqs, lengths
 
 
 def _oracle_scores(query, db, seqs, lengths, submat, og, eg):
@@ -37,7 +38,8 @@ def _oracle_scores(query, db, seqs, lengths, submat, og, eg):
     ("pam250", 5, 1),
 ])
 def test_engine_full_score_parity(rng, matrix, og, eg):
-    db, seqs, lengths = _make_db(rng, 2100, 300)   # 3 groups, >=2 bins
+    # bin_cost=1 keeps per-group bins (>=2 bins, incl. odd-64 tails)
+    db, seqs, lengths = _make_db(rng, 2100, 300, bin_cost=1)
     cfg = SearchConfig(matrix=matrix, open_gap=og, extend_gap=eg)
     eng = SearchEngine(db, cfg)
     q = random_protein(rng, 61)
