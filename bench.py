@@ -45,6 +45,10 @@ def main():
                    help="also run the BASELINE.json config suite "
                         "(query-length sweep, multi-query batch, matrices); "
                         "results to stderr")
+    p.add_argument("--devices", type=int, default=1,
+                   help="mesh size: >1 uses DistributedSearchEngine for "
+                        "aggregate-TCUPS / scaling-efficiency measurement "
+                        "on multi-chip hosts")
     args = p.parse_args()
 
     backend = jax.default_backend()
@@ -59,7 +63,12 @@ def main():
 
     cfg = SearchConfig(matrix=args.matrix, u_rows=args.u_rows)
     t0 = time.perf_counter()
-    eng = SearchEngine(db, cfg)
+    if args.devices > 1:
+        from oswald_tpu.dist import DistributedSearchEngine, make_device_mesh
+        eng = DistributedSearchEngine(db, cfg,
+                                      mesh=make_device_mesh(args.devices))
+    else:
+        eng = SearchEngine(db, cfg)
     setup_s = time.perf_counter() - t0
 
     # warm-up: compile every bin's program
@@ -73,14 +82,33 @@ def main():
     dt = min(times)
 
     cells = args.qlen * db.n_residues
-    gcups = cells / dt / 1e9
+    gcups_single = cells / dt / 1e9
+
+    # Headline: sustained throughput over a pipelined query stream (the
+    # reference's published numbers are likewise over query-set runs).  The
+    # batch amortises the per-search host sync (a ~28 ms round trip through
+    # the remote-TPU tunnel that a production server would pipeline away).
+    nq = 10 if on_tpu else 2
+    queries = [rng.integers(0, 23, size=args.qlen).astype(np.int8)
+               for _ in range(nq)]
+    eng.search_many(queries)           # compile
+    btimes = []
+    for _ in range(max(iters // 2, 1)):
+        t0 = time.perf_counter()
+        eng.search_many(queries)
+        btimes.append(time.perf_counter() - t0)
+    bdt = min(btimes)
+    gcups = nq * args.qlen * db.n_residues / bdt / 1e9
     padded = sum(db.bins[L]["seq"].shape[0] * L * 1024
                  for L in db.bin_lengths)
     info = {
         "backend": backend, "n_seqs": db.n_seqs,
         "db_residues": db.n_residues, "qlen": args.qlen,
         "pad_overhead": round(padded / db.n_residues, 3),
-        "search_s": round(dt, 4), "setup_s": round(setup_s, 2),
+        "single_query_gcups": round(gcups_single, 2),
+        "single_query_s": round(dt, 4),
+        "batch_n": nq, "batch_s": round(bdt, 4),
+        "setup_s": round(setup_s, 2),
         "top1": int(res.scores[0]),
     }
     print(json.dumps(info), file=sys.stderr)

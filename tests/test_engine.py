@@ -121,3 +121,14 @@ def test_engine_gap_configs(rng):
         want = _oracle_scores(q, db, seqs, lengths, get_submat("blosum62"),
                               og, eg)
         np.testing.assert_array_equal(got, want)
+
+
+def test_engine_stream_profile_mode(rng):
+    """profile_mode="stream" (on-the-fly profile build) matches precompute."""
+    db, seqs, lengths = _make_db(rng, 1100, 180, bin_cost=1)
+    q = random_protein(rng, 45)
+    pre = SearchEngine(db, SearchConfig(top=6))
+    st = SearchEngine(db, SearchConfig(top=6, profile_mode="stream"))
+    r1, r2 = pre.search(q), st.search(q)
+    np.testing.assert_array_equal(r1.scores, r2.scores)
+    np.testing.assert_array_equal(r1.seq_ids, r2.seq_ids)
