@@ -26,8 +26,6 @@ assembles the global sharded array.  Tests exercise the logic on a virtual
 8-device CPU mesh.
 """
 
-import dataclasses
-import functools
 import time
 
 import numpy as np
@@ -38,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from oswald_tpu.alphabet import DUMMY
 from oswald_tpu.submat import get_submat
-from oswald_tpu.io.db import PackedDB, SUBLANES, LANES, GROUP_LANES
+from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
 from oswald_tpu.kernels import build_profile, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_impl, _search_bin_stream_impl,

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from oswald_tpu.alphabet import DUMMY
 from oswald_tpu.submat import get_submat
-from oswald_tpu.io.db import PackedDB, SUBLANES, LANES, GROUP_LANES
+from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
 from oswald_tpu.kernels import sw_chunk, build_profile, CHUNK_WIDTH
 from oswald_tpu.utils.metrics import Metrics
 
@@ -75,10 +75,6 @@ class SearchResult:
     seq_ids: np.ndarray       # int32[k], sorted-order ids into db.titles
     titles: list              # top-k subject titles
     elapsed: float            # seconds (this query's device time)
-
-    @property
-    def gcups(self):
-        return None           # filled by the engine's report
 
 
 def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
