@@ -132,3 +132,15 @@ def test_engine_stream_profile_mode(rng):
     r1, r2 = pre.search(q), st.search(q)
     np.testing.assert_array_equal(r1.scores, r2.scores)
     np.testing.assert_array_equal(r1.seq_ids, r2.seq_ids)
+
+
+def test_engine_all_matrices(rng):
+    """Kernel parity vs oracle for every shipped substitution matrix."""
+    from oswald_tpu.submat import MATRIX_NAMES
+    db, seqs, lengths = _make_db(rng, 300, 100)
+    q = random_protein(rng, 36)
+    for name in MATRIX_NAMES:
+        eng = SearchEngine(db, SearchConfig(matrix=name))
+        got = np.asarray(eng.score_all(q))[np.asarray(eng.valid)]
+        want = _oracle_scores(q, db, seqs, lengths, get_submat(name), 10, 2)
+        np.testing.assert_array_equal(got, want, err_msg=name)
