@@ -134,3 +134,22 @@ def test_load_queries_sorted(tmp_path, rng):
     qlens = [len(s) for s in qs]
     assert qlens == sorted(qlens)
     assert set(qt) == set(titles)
+
+
+def test_engine_from_saved_db(tmp_path, rng):
+    """save_db -> load_db (mmap) -> SearchEngine end-to-end."""
+    from oswald_tpu.io.db import save_db, load_db
+    from oswald_tpu.engine import SearchEngine, SearchConfig
+    from conftest import random_protein
+    lengths = rng.integers(5, 90, size=300)
+    seqs = [random_protein(rng, int(l)) for l in lengths]
+    db = pack_sequences(np.concatenate(seqs), lengths,
+                        [f"t{i}" for i in range(300)])
+    save_db(db, str(tmp_path / "d"))
+    db2 = load_db(str(tmp_path / "d"))
+    assert db2.n_seqs == db.n_seqs and db2.titles == db.titles
+    q = random_protein(rng, 33)
+    r1 = SearchEngine(db, SearchConfig(top=4)).search(q)
+    r2 = SearchEngine(db2, SearchConfig(top=4)).search(q)
+    np.testing.assert_array_equal(r1.scores, r2.scores)
+    np.testing.assert_array_equal(r1.seq_ids, r2.seq_ids)

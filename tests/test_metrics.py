@@ -42,3 +42,13 @@ def test_process_group_slice_single_process():
     mesh = make_device_mesh(8)
     lo, hi = process_group_slice(16, mesh)
     assert (lo, hi) == (0, 16)   # single process owns everything
+
+
+def test_profile_trace_writes(tmp_path):
+    import jax.numpy as jnp
+    from oswald_tpu.utils import profile_trace
+    with profile_trace(str(tmp_path)):
+        jnp.arange(8).sum().block_until_ready()
+    import os
+    found = [f for _, _, fs in os.walk(tmp_path) for f in fs]
+    assert found, "profiler wrote no trace files"
