@@ -53,7 +53,9 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    n_seqs = args.seqs if args.seqs is not None else (100_000 if on_tpu
+    # default TPU db ~ SwissProt scale (BASELINE.json config 2); larger DBs
+    # amortise per-bin overheads and pad less (sorted groups get tighter)
+    n_seqs = args.seqs if args.seqs is not None else (300_000 if on_tpu
                                                      else 2_048)
     iters = args.iters if on_tpu else 1
 

@@ -6,9 +6,9 @@ HybridSearch.c:4-2529).  The reference streams dynamically-sized chunks to
 devices and rescues overflowed lanes on the host; here every length bin is a
 fixed-shape array that streams through the Pallas kernel as a
 `lax.scan` over column chunks, so the whole per-(bin, query-shape) search is
-one compiled XLA program.  There is no overflow rescue (int32 end to end)
-and no calibration phase (a single device type; multi-chip balancing is
-static residue-count sharding in oswald_tpu.dist).
+one compiled XLA program.  There is no overflow rescue (exact 32-bit
+arithmetic end to end) and no calibration phase (a single device type;
+multi-chip balancing is static residue-count sharding in oswald_tpu.dist).
 """
 
 import dataclasses
@@ -182,6 +182,10 @@ _search_bin_batch = jax.jit(
     static_argnames=("u_rows", "interpret", "group_block", "acc_dtype"))
 
 
+_build_profile_stack = jax.jit(jax.vmap(build_profile, in_axes=(0, None)))
+_build_profile_jit = jax.jit(build_profile)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk(scores_flat, valid, k):
     masked = jnp.where(valid, scores_flat, -1)
@@ -260,11 +264,16 @@ class SearchEngine:
             seq = jnp.asarray(np.ascontiguousarray(seq_np))
             main, tail = _split_chunks(seq, L)
             if self.config.profile_mode == "precompute":
-                profs = [build_profile(main[:, c], self.submat)
-                         for c in range(main.shape[1])]
-                main_prof = jnp.stack(profs) if profs else jnp.zeros(
-                    (0, G_pad, 24, CHUNK_WIDTH * SUBLANES, LANES), jnp.int8)
-                tail_prof = build_profile(tail, self.submat) \
+                # one jitted call per bin (a per-chunk eager loop costs one
+                # dispatch round trip per chunk — dominated engine setup)
+                main_cg = jnp.swapaxes(main, 0, 1)      # [C, G, W, 8, 128]
+                if main_cg.shape[0]:
+                    main_prof = _build_profile_stack(main_cg, self.submat)
+                else:
+                    main_prof = jnp.zeros(
+                        (0, G_pad, 24, CHUNK_WIDTH * SUBLANES, LANES),
+                        jnp.int8)
+                tail_prof = _build_profile_jit(tail, self.submat) \
                     if tail is not None else None
                 self.prof_stacks[L] = (main_prof, tail_prof)
             elif self.config.profile_mode == "stream":
