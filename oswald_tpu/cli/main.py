@@ -36,6 +36,14 @@ def _add_search_args(sp):
                     default="precompute")
     sp.add_argument("--u-rows", type=int, default=8)
     sp.add_argument("--group-block", type=int, default=2)
+    sp.add_argument("--no-batch", action="store_true",
+                    help="search queries one program at a time instead of "
+                         "batching by padded length")
+    sp.add_argument("--trace", metavar="DIR", default=None,
+                    help="capture a jax.profiler device trace of the "
+                         "search into DIR (view in TensorBoard/Perfetto)")
+    sp.add_argument("--metrics", action="store_true",
+                    help="print phase timing metrics after the report")
 
 
 def build_parser():
@@ -86,8 +94,18 @@ def cmd_search(args):
         engine = SearchEngine(db, cfg)
     setup_s = time.perf_counter() - t_setup
 
+    import contextlib
+    trace_ctx = contextlib.nullcontext()
+    if args.trace:
+        from oswald_tpu.utils import profile_trace
+        trace_ctx = profile_trace(args.trace)
+
+    kwargs = {}
+    if n_dev <= 1:
+        kwargs["batch"] = not args.no_batch
     t0 = time.perf_counter()
-    results = engine.search_many(queries, queries_titles)
+    with trace_ctx:
+        results = engine.search_many(queries, queries_titles, **kwargs)
     search_s = time.perf_counter() - t0
 
     for i, res in enumerate(results):
@@ -112,6 +130,9 @@ def cmd_search(args):
     print(f"Search speed:\t\t\t{gcups:.2f} GCUPS")
     print(f"Devices:\t\t\t{n_dev} ({jax.default_backend()})")
     print(f"Group lanes:\t\t\t1024 (8x128 VPU tile)")
+    if args.metrics:
+        print("\nPhase timings:")
+        print(engine.metrics.report())
     return 0
 
 
@@ -133,8 +154,12 @@ def cmd_info(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    return {"preprocess": cmd_preprocess, "search": cmd_search,
-            "info": cmd_info}[args.op](args)
+    try:
+        return {"preprocess": cmd_preprocess, "search": cmd_search,
+                "info": cmd_info}[args.op](args)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"oswald-tpu: error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

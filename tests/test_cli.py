@@ -75,3 +75,21 @@ def test_cli_search_distributed(tmp_path, fasta_db, rng, capsys):
     want = sorted((sw_score_numpy(seqs[3][:30], s, sm) for s in seqs),
                   reverse=True)[:3]
     assert [int(r[0]) for r in rows] == want
+
+
+def test_cli_error_handling(tmp_path, capsys):
+    assert main(["search", "-q", "nope.fasta", "-d", "nope"]) == 2
+    err = capsys.readouterr().err
+    assert "error:" in err
+
+
+def test_cli_bad_matrix(tmp_path, fasta_db, capsys):
+    db_fasta, seqs = fasta_db
+    qpath = tmp_path / "q.fasta"
+    with open(qpath, "w") as f:
+        f.write(">q\nMKTA\n")
+    assert main(["preprocess", "-i", str(db_fasta),
+                 "-o", str(tmp_path / "db")]) == 0
+    assert main(["search", "-q", str(qpath), "-d", str(tmp_path / "db"),
+                 "-s", "nosuchmatrix"]) == 2
+    assert "unknown substitution matrix" in capsys.readouterr().err
