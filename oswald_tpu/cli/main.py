@@ -11,8 +11,23 @@ FPGAsearch.c:311-331).  Device-specific reference flags (-m execution mode,
 """
 
 import argparse
+import contextlib
 import sys
 import time
+
+
+class _CLIError(Exception):
+    """User-input error already formatted for the terminal."""
+
+
+@contextlib.contextmanager
+def _user_errors():
+    """Convert user-input failures to _CLIError inside this block only, so
+    internal errors elsewhere still traceback."""
+    try:
+        yield
+    except (ValueError, FileNotFoundError) as e:
+        raise _CLIError(str(e)) from e
 
 
 def _add_search_args(sp):
@@ -67,29 +82,43 @@ def build_parser():
 
 def cmd_preprocess(args):
     from oswald_tpu.io.db import preprocess_db
-    preprocess_db(args.input, args.output)
+    with _user_errors():
+        preprocess_db(args.input, args.output)
     return 0
 
 
 def cmd_search(args):
     import jax
-    import numpy as np
     from oswald_tpu.io.db import load_db, load_queries
     from oswald_tpu.engine import SearchEngine, SearchConfig
+    from oswald_tpu.submat import get_submat
 
-    t_setup = time.perf_counter()
-    db = load_db(args.db)
-    queries_titles, queries = load_queries(args.query)
-    cfg = SearchConfig(matrix=args.sm, open_gap=args.gap_open,
-                       extend_gap=args.gap_extend, top=args.top,
-                       u_rows=args.u_rows, group_block=args.group_block,
-                       profile_mode=args.profile_mode)
-    n_dev = args.devices if args.devices is not None else \
-        jax.device_count()
+    # validate user input up front (inside the friendly-error boundary);
+    # anything raised past this point is an internal error and should
+    # traceback, not masquerade as a usage error
+    with _user_errors():
+        get_submat(args.sm)
+        cfg = SearchConfig(matrix=args.sm, open_gap=args.gap_open,
+                           extend_gap=args.gap_extend, top=args.top,
+                           u_rows=args.u_rows,
+                           group_block=args.group_block,
+                           profile_mode=args.profile_mode)
+        n_dev = args.devices if args.devices is not None else \
+            jax.device_count()
+        if n_dev > 1:
+            from oswald_tpu.dist import make_device_mesh
+            mesh = make_device_mesh(n_dev)
+        t_setup = time.perf_counter()
+        db = load_db(args.db)
+        queries_titles, queries = load_queries(args.query)
+
     if n_dev > 1:
-        from oswald_tpu.dist import DistributedSearchEngine, make_device_mesh
-        engine = DistributedSearchEngine(db, cfg,
-                                         mesh=make_device_mesh(n_dev))
+        from oswald_tpu.dist import DistributedSearchEngine
+        engine = DistributedSearchEngine(db, cfg, mesh=mesh)
+        if args.no_batch:
+            print("oswald-tpu: note: --no-batch has no effect with a "
+                  "multi-device mesh (distributed searches run "
+                  "per-query)", file=sys.stderr)
     else:
         engine = SearchEngine(db, cfg)
     setup_s = time.perf_counter() - t_setup
@@ -116,9 +145,10 @@ def cmd_search(args):
         for sc, title in zip(res.scores, res.titles):
             print(f"{int(sc)}\t{title}")
 
+    from oswald_tpu.utils import gcups as _gcups
     Q = sum(len(q) for q in queries)
     D = db.n_residues
-    gcups = Q * D / (search_s * 1e9) if search_s > 0 else float("inf")
+    gcups = _gcups(Q, D, search_s)
     print(f"\nSearch date:\t\t\t{time.ctime()}")
     print(f"Database:\t\t\t{args.db} ({db.n_seqs} sequences, "
           f"{db.n_residues} residues)")
@@ -157,7 +187,7 @@ def main(argv=None):
     try:
         return {"preprocess": cmd_preprocess, "search": cmd_search,
                 "info": cmd_info}[args.op](args)
-    except (ValueError, FileNotFoundError) as e:
+    except _CLIError as e:
         print(f"oswald-tpu: error: {e}", file=sys.stderr)
         return 2
 

@@ -58,6 +58,10 @@ def make_device_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (AXIS,))
 
@@ -189,7 +193,15 @@ class DistributedSearchEngine:
                     np.ascontiguousarray(seq_all[:, C * CHUNK_WIDTH:]),
                     axis=0)
             if self.config.profile_mode == "precompute":
-                main_prof = build_sharded(seq_sharded, self.submat_dev)
+                if C:
+                    main_prof = build_sharded(seq_sharded, self.submat_dev)
+                else:
+                    # tail-only bin: XLA refuses out_shardings on an empty
+                    # array, so place the zero-chunk stack directly
+                    main_prof = jax.device_put(
+                        np.zeros((0, G, 24, CHUNK_WIDTH * SUBLANES, LANES),
+                                 np.int8),
+                        NamedSharding(self.mesh, P(None, AXIS)))
                 tail_prof = build_tail(tail_sharded, self.submat_dev) \
                     if tail_sharded is not None else None
                 self.prof_stacks[L] = (main_prof, tail_prof)
@@ -222,13 +234,15 @@ class DistributedSearchEngine:
             flat = scores.reshape(-1)
             idsf = ids.reshape(-1)
             masked = jnp.where(idsf >= 0, flat, -1)
+            # a shard can contribute at most its own slot count; the global
+            # reduction may still keep up to k from the gathered union
             kk = min(k, flat.shape[0])
             loc_s, loc_i = jax.lax.top_k(masked, kk)
             loc_ids = jnp.take(idsf, loc_i)
             # O(k) bytes per device over ICI — the collective merge
             all_s = jax.lax.all_gather(loc_s, AXIS, tiled=True)
             all_ids = jax.lax.all_gather(loc_ids, AXIS, tiled=True)
-            top_s, top_i = jax.lax.top_k(all_s, kk)
+            top_s, top_i = jax.lax.top_k(all_s, min(k, all_s.shape[0]))
             return top_s, jnp.take(all_ids, top_i)
 
         # data = (main, tail): main [C, G, ...] shards on axis 1, the tail

@@ -58,6 +58,31 @@ class SearchConfig:
     # per-call overhead under compute), so off by default.
     fused_dispatch: bool = False
 
+    def __post_init__(self):
+        u = self.u_rows
+        if not (isinstance(u, int) and 1 <= u <= 64 and (u & (u - 1)) == 0):
+            raise ValueError(
+                f"u_rows must be a power of two in [1, 64], got {u!r} "
+                "(it must divide every padded query length)")
+        if not (isinstance(self.group_block, int) and self.group_block >= 1):
+            raise ValueError(
+                f"group_block must be a positive integer, got "
+                f"{self.group_block!r}")
+        if self.top < 1:
+            raise ValueError(f"top must be >= 1, got {self.top!r}")
+        if self.open_gap < 0 or self.extend_gap < 0:
+            raise ValueError(
+                f"gap penalties must be non-negative, got open="
+                f"{self.open_gap!r} extend={self.extend_gap!r}")
+        if self.acc_dtype not in ("int32", "float32"):
+            raise ValueError(
+                f"acc_dtype must be 'int32' or 'float32', got "
+                f"{self.acc_dtype!r}")
+        if self.profile_mode not in ("precompute", "stream"):
+            raise ValueError(
+                f"profile_mode must be 'precompute' or 'stream', got "
+                f"{self.profile_mode!r}")
+
     def resolved_interpret(self) -> bool:
         if self.interpret is None:
             return jax.default_backend() != "tpu"

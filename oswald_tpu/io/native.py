@@ -60,9 +60,21 @@ def _ptr(a, ct):
 
 def parse_fasta_bytes(data: bytes):
     """Native single-pass FASTA parse; same contract as
-    oswald_tpu.io.fasta.parse_fasta_bytes."""
+    oswald_tpu.io.fasta.parse_fasta_bytes (including its ValueErrors for
+    non-FASTA input — the C scanner itself skips malformed content, so the
+    validation lives here)."""
     lib = _load()
     assert lib is not None, "native IO library not built (make -C native)"
+    if data:
+        # match the numpy reference exactly: the first line must be a
+        # header, and at least one header must exist
+        nl = data.find(b"\n")
+        first_line = data if nl < 0 else data[:nl]
+        if not first_line.startswith(b">"):
+            if b"\n>" not in data:
+                raise ValueError(
+                    "not a FASTA file: no '>' header lines found")
+            raise ValueError("FASTA content before first '>' header")
     buf = np.frombuffer(data, dtype=np.uint8)
     n = np.int64(buf.size)
     ub = ctypes.c_int64(0)

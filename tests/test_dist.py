@@ -70,3 +70,16 @@ def test_distributed_matches_oracle_topk(rng):
     top = np.lexsort((ids, -want))[:5]
     np.testing.assert_array_equal(r.scores, want[top])
     np.testing.assert_array_equal(r.seq_ids, top)
+
+
+def test_distributed_topk_larger_than_shard(rng):
+    """k above a shard's slot count must still return the exact global
+    top-k (the per-shard cap only limits each shard's contribution)."""
+    db, seqs, lengths = _make_db(rng, 600, 60)   # 1 bin, 1 group global
+    k = 50
+    dist = DistributedSearchEngine(db, SearchConfig(top=k))
+    single = SearchEngine(db, SearchConfig(top=k))
+    q = random_protein(rng, 30)
+    r1, r2 = single.search(q), dist.search(q)
+    np.testing.assert_array_equal(r1.scores, r2.scores)
+    np.testing.assert_array_equal(r1.seq_ids, r2.seq_ids)

@@ -144,3 +144,21 @@ def test_engine_all_matrices(rng):
         got = np.asarray(eng.score_all(q))[np.asarray(eng.valid)]
         want = _oracle_scores(q, db, seqs, lengths, get_submat(name), 10, 2)
         np.testing.assert_array_equal(got, want, err_msg=name)
+
+
+def test_config_validation():
+    import pytest
+    from oswald_tpu.engine import SearchConfig
+    with pytest.raises(ValueError):
+        SearchConfig(u_rows=12)
+    with pytest.raises(ValueError):
+        SearchConfig(group_block=0)
+    with pytest.raises(ValueError):
+        SearchConfig(top=0)
+    with pytest.raises(ValueError):
+        SearchConfig(open_gap=-1)
+    with pytest.raises(ValueError):
+        SearchConfig(acc_dtype="int64")
+    with pytest.raises(ValueError):
+        SearchConfig(profile_mode="bogus")
+    SearchConfig(u_rows=16, group_block=4)   # valid

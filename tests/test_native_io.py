@@ -61,3 +61,13 @@ def test_native_pack_matches_fallback(rng):
         for k in ("seq", "len", "id"):
             np.testing.assert_array_equal(db_native.bins[L][k],
                                           db_py.bins[L][k])
+
+
+def test_native_parse_rejects_invalid_like_numpy():
+    for bad in (b"MKTA\n>late header\nACDE\n", b"no headers here\n"):
+        with pytest.raises(ValueError):
+            fasta.parse_fasta_bytes(bad)
+        with pytest.raises(ValueError):
+            native.parse_fasta_bytes(bad)
+    # empty input is accepted by both
+    assert native.parse_fasta_bytes(b"")[0] == []
