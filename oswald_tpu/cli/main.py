@@ -115,10 +115,6 @@ def cmd_search(args):
     if n_dev > 1:
         from oswald_tpu.dist import DistributedSearchEngine
         engine = DistributedSearchEngine(db, cfg, mesh=mesh)
-        if args.no_batch:
-            print("oswald-tpu: note: --no-batch has no effect with a "
-                  "multi-device mesh (distributed searches run "
-                  "per-query)", file=sys.stderr)
     else:
         engine = SearchEngine(db, cfg)
     setup_s = time.perf_counter() - t_setup
@@ -129,12 +125,10 @@ def cmd_search(args):
         from oswald_tpu.utils import profile_trace
         trace_ctx = profile_trace(args.trace)
 
-    kwargs = {}
-    if n_dev <= 1:
-        kwargs["batch"] = not args.no_batch
     t0 = time.perf_counter()
     with trace_ctx:
-        results = engine.search_many(queries, queries_titles, **kwargs)
+        results = engine.search_many(queries, queries_titles,
+                                     batch=not args.no_batch)
     search_s = time.perf_counter() - t0
 
     for i, res in enumerate(results):

@@ -40,7 +40,7 @@ from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
 from oswald_tpu.kernels import build_profile, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_impl, _search_bin_stream_impl,
-    pad_query,
+    _search_bin_batch_impl, pad_query,
 )
 from oswald_tpu.utils.metrics import Metrics
 
@@ -287,6 +287,85 @@ class DistributedSearchEngine:
                             scores=scores, seq_ids=ids, titles=titles,
                             elapsed=elapsed)
 
-    def search_many(self, queries, titles=None):
+    def _bin_batch_fn(self, L: int, k: int):
+        """Compiled per-bin shard_map for a query batch: (q_batch, gaps,
+        submat, data, ids) -> (scores[Q, kk'], ids[Q, kk']) replicated."""
+        key = ("batch", L, k)
+        if key in self._bin_fns:
+            return self._bin_fns[key]
+        u_rows, interpret = self.config.u_rows, self._interpret
+        gb, acc = self.config.group_block, self._acc
+
+        def local_fn(q_batch, gaps, submat, data, ids):
+            main, tail = data
+            scores = _search_bin_batch_impl(q_batch, gaps, main, u_rows,
+                                            interpret, gb, acc, tail)
+            Q = q_batch.shape[0]
+            flat = scores.reshape(Q, -1)
+            idsf = ids.reshape(-1)
+            masked = jnp.where(idsf[None] >= 0, flat, -1)
+            kk = min(k, flat.shape[1])
+            loc_s, loc_i = jax.lax.top_k(masked, kk)        # [Q, kk]
+            loc_ids = jnp.take(idsf, loc_i)
+            all_s = jax.lax.all_gather(loc_s, AXIS, axis=1, tiled=True)
+            all_ids = jax.lax.all_gather(loc_ids, AXIS, axis=1, tiled=True)
+            top_s, top_i = jax.lax.top_k(all_s,
+                                         min(k, all_s.shape[1]))
+            return top_s, jnp.take_along_axis(all_ids, top_i, axis=1)
+
+        fn = jax.jit(jax.shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(), (P(None, AXIS), P(AXIS)), P(AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False))
+        self._bin_fns[key] = fn
+        return fn
+
+    def search_many(self, queries, titles=None, batch: bool = True):
+        """Search a list of queries; with batch=True same-padded-length
+        queries run as one shard_map program per bin (see
+        SearchEngine.search_many)."""
         titles = titles or [f"query{i}" for i in range(len(queries))]
-        return [self.search(q, t) for q, t in zip(queries, titles)]
+        if not batch or len(queries) <= 1 or \
+                self.config.profile_mode != "precompute":
+            return [self.search(q, t) for q, t in zip(queries, titles)]
+
+        t0 = time.perf_counter()
+        padded = [self._pad_query(q) for q in queries]
+        by_len = {}
+        for i, qp in enumerate(padded):
+            by_len.setdefault(qp.shape[0], []).append(i)
+
+        results = [None] * len(queries)
+        k = min(self.config.top, max(self.db.n_seqs, 1))
+        for m_pad, idxs in by_len.items():
+            qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
+            cand_s, cand_i = [], []
+            for L in self.db.bin_lengths:
+                data = self.prof_stacks[L]
+                s, i = self._bin_batch_fn(L, k)(
+                    qb, self.gaps, self.submat_dev, data, self.ids[L])
+                cand_s.append(np.asarray(s))
+                cand_i.append(np.asarray(i))
+            scores = np.concatenate(cand_s, axis=1) if cand_s else \
+                np.zeros((len(idxs), 0), np.int32)
+            ids = np.concatenate(cand_i, axis=1) if cand_i else \
+                np.zeros((len(idxs), 0), np.int32)
+            for row, qi in enumerate(idxs):
+                srow, irow = scores[row], ids[row]
+                valid = irow >= 0
+                srow, irow = srow[valid], irow[valid]
+                order = np.lexsort((irow, -srow))[:k]
+                srow, irow = srow[order], irow[order]
+                results[qi] = SearchResult(
+                    query_title=titles[qi],
+                    query_length=int(np.asarray(queries[qi]).size),
+                    scores=srow, seq_ids=irow,
+                    titles=[self.db.title_of(int(j)) for j in irow],
+                    elapsed=0.0)
+        elapsed = time.perf_counter() - t0
+        self.metrics.add("search_batch", elapsed)
+        per = elapsed / max(len(queries), 1)
+        for r in results:
+            r.elapsed = per
+        return results

@@ -83,3 +83,15 @@ def test_distributed_topk_larger_than_shard(rng):
     r1, r2 = single.search(q), dist.search(q)
     np.testing.assert_array_equal(r1.scores, r2.scores)
     np.testing.assert_array_equal(r1.seq_ids, r2.seq_ids)
+
+
+def test_distributed_search_many_batched(rng):
+    db, seqs, lengths = _make_db(rng, 1500, 150)
+    dist = DistributedSearchEngine(db, SearchConfig(top=6))
+    queries = [random_protein(rng, int(n)) for n in (15, 40, 40, 90)]
+    batched = dist.search_many(queries, batch=True)
+    seq_res = dist.search_many(queries, batch=False)
+    for rb, rs in zip(batched, seq_res):
+        np.testing.assert_array_equal(rb.scores, rs.scores)
+        np.testing.assert_array_equal(rb.seq_ids, rs.seq_ids)
+    assert dist.metrics.count("search_batch") == 1
