@@ -398,6 +398,24 @@ class SearchEngine:
                             scores=top_scores, seq_ids=top_ids,
                             titles=titles, elapsed=elapsed)
 
+    def warmup(self, max_query_len: int = 512):
+        """Precompile every (bin, padded-query-shape) program for queries up
+        to max_query_len — a serving deployment calls this once so the
+        first real query doesn't pay XLA compilation.  Returns the list of
+        padded lengths compiled."""
+        m_pads = []
+        m = 1
+        while True:
+            m_pad = pad_query(np.zeros(m, np.int8), self.config).shape[0]
+            if not m_pads or m_pad != m_pads[-1]:
+                m_pads.append(m_pad)
+                self.search(np.full(min(m, max_query_len), DUMMY, np.int8))
+            if m_pad >= max_query_len:
+                break
+            m = m_pad + 1
+        self.metrics.add("warmup", 0.0)
+        return m_pads
+
     def search_many(self, queries, titles=None, batch: bool = True):
         """Search a list of queries.  With batch=True (default) queries are
         grouped by padded length and each group runs as ONE compiled

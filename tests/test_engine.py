@@ -162,3 +162,11 @@ def test_config_validation():
     with pytest.raises(ValueError):
         SearchConfig(profile_mode="bogus")
     SearchConfig(u_rows=16, group_block=4)   # valid
+
+
+def test_engine_warmup(rng):
+    db, seqs, lengths = _make_db(rng, 200, 60)
+    eng = SearchEngine(db, SearchConfig())
+    m_pads = eng.warmup(max_query_len=200)
+    assert m_pads == sorted(set(m_pads))
+    assert m_pads[-1] >= 200
