@@ -72,6 +72,10 @@ def build_parser():
                     help="input FASTA filename")
     pp.add_argument("-o", "--output", required=True,
                     help="output database path (writes <output>.oswt/)")
+    pp.add_argument("--streaming", action="store_true",
+                    help="out-of-core build (bounded host memory) for "
+                         "databases larger than RAM; auto-enabled for "
+                         "FASTA files over 2 GiB")
 
     sp = sub.add_parser("search", help="search a packed database")
     _add_search_args(sp)
@@ -81,9 +85,17 @@ def build_parser():
 
 
 def cmd_preprocess(args):
-    from oswald_tpu.io.db import preprocess_db
+    import os
     with _user_errors():
-        preprocess_db(args.input, args.output)
+        streaming = args.streaming or (
+            os.path.exists(args.input) and
+            os.path.getsize(args.input) > 2 << 30)
+        if streaming:
+            from oswald_tpu.io.stream import preprocess_db_streaming
+            preprocess_db_streaming(args.input, args.output)
+        else:
+            from oswald_tpu.io.db import preprocess_db
+            preprocess_db(args.input, args.output)
     return 0
 
 

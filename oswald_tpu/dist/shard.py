@@ -40,7 +40,7 @@ from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
 from oswald_tpu.kernels import build_profile, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_impl, _search_bin_stream_impl,
-    _search_bin_batch_impl, pad_query,
+    _search_bin_batch_impl, _split_chunks, pad_query,
 )
 from oswald_tpu.utils.metrics import Metrics
 
@@ -111,23 +111,22 @@ def process_group_slice(G_pad: int, mesh: Mesh):
     return lo * per, hi * per
 
 
-def _put_sharded(mesh: Mesh, spec: P, global_np, axis: int):
-    """Place a host array on the mesh, sharded on `axis` per `spec`.
+def _put_local(mesh: Mesh, spec: P, local_np, global_shape):
+    """Assemble a mesh-sharded Array from this process's slice.
 
-    Single-process: plain device_put of the full array.  Multi-process
-    SPMD: every process passes its own slice of the global array (or the
-    full array, from which the local slice is taken) and the global sharded
-    Array is assembled from process-local data without any cross-host
-    transfer.
+    Single-process: local == global, a plain device_put.  Multi-process
+    SPMD: every process passes only its own contiguous slice
+    (process_group_slice) and the global Array is assembled from
+    process-local data with no cross-host transfer — each pod host only
+    ever holds its shard in RAM.
     """
     sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
-        return jax.device_put(global_np, sharding)
-    lo, hi = process_group_slice(global_np.shape[axis], mesh)
-    idx = [slice(None)] * global_np.ndim
-    idx[axis] = slice(lo, hi)
+        assert tuple(local_np.shape) == tuple(global_shape), \
+            (local_np.shape, global_shape)
+        return jax.device_put(local_np, sharding)
     return jax.make_array_from_process_local_data(
-        sharding, np.ascontiguousarray(global_np[tuple(idx)]))
+        sharding, local_np, tuple(global_shape))
 
 
 class DistributedSearchEngine:
@@ -171,45 +170,51 @@ class DistributedSearchEngine:
             out_shardings=NamedSharding(self.mesh, P(AXIS)))
 
         for L in db.bin_lengths:
-            # every shard's local group count must also divide group_block
-            padded = shard_groups(db.bins[L],
-                                  self.ndev * self.config.group_block)
-            G = padded["seq"].shape[0]
+            # pad the global group count so every shard's local count also
+            # divides group_block; then build only THIS PROCESS's group
+            # slice (multi-host: the db arrays are mmap'd, so the read and
+            # the host RAM stay shard-sized)
+            G_real = db.bins[L]["seq"].shape[0]
+            quanta = self.ndev * self.config.group_block
+            G = -(-G_real // quanta) * quanta
             C = L // CHUNK_WIDTH
-            tail_w = L % CHUNK_WIDTH
-            # [C, G, W, 8, 128], group axis sharded over the mesh; plus an
-            # optional 64-position tail chunk [G, 64, 8, 128]
-            seq_all = padded["seq"]
-            chunks = np.ascontiguousarray(
-                seq_all[:, :C * CHUNK_WIDTH]
-                .reshape(G, C, CHUNK_WIDTH, SUBLANES, LANES)
-                .transpose(1, 0, 2, 3, 4))
-            seq_sharded = _put_sharded(self.mesh, P(None, AXIS), chunks,
-                                       axis=1)
+            lo, hi = process_group_slice(G, self.mesh)
+            seq_loc = np.full((hi - lo, L, SUBLANES, LANES), DUMMY, np.int8)
+            ids_loc = np.full((hi - lo, SUBLANES, LANES), -1, np.int32)
+            take = max(0, min(hi, G_real) - lo)
+            if take:
+                seq_loc[:take] = db.bins[L]["seq"][lo:lo + take]
+                ids_loc[:take] = db.bins[L]["id"][lo:lo + take]
+
+            main_loc, tail_loc = _split_chunks(seq_loc, L)
+            # [C, G_local, W, 8, 128] chunk-major like the engine
+            main_loc = np.ascontiguousarray(np.swapaxes(main_loc, 0, 1))
+            seq_sharded = _put_local(
+                self.mesh, P(None, AXIS), main_loc,
+                (C, G, CHUNK_WIDTH, SUBLANES, LANES))
             tail_sharded = None
-            if tail_w:
-                tail_sharded = _put_sharded(
-                    self.mesh, P(AXIS),
-                    np.ascontiguousarray(seq_all[:, C * CHUNK_WIDTH:]),
-                    axis=0)
+            if tail_loc is not None:
+                tail_sharded = _put_local(
+                    self.mesh, P(AXIS), np.ascontiguousarray(tail_loc),
+                    (G,) + tail_loc.shape[1:])
             if self.config.profile_mode == "precompute":
                 if C:
                     main_prof = build_sharded(seq_sharded, self.submat_dev)
                 else:
                     # tail-only bin: XLA refuses out_shardings on an empty
                     # array, so place the zero-chunk stack directly
-                    main_prof = jax.device_put(
-                        np.zeros((0, G, 24, CHUNK_WIDTH * SUBLANES, LANES),
-                                 np.int8),
-                        NamedSharding(self.mesh, P(None, AXIS)))
+                    main_prof = _put_local(
+                        self.mesh, P(None, AXIS),
+                        np.zeros((0, hi - lo, 24,
+                                  CHUNK_WIDTH * SUBLANES, LANES), np.int8),
+                        (0, G, 24, CHUNK_WIDTH * SUBLANES, LANES))
                 tail_prof = build_tail(tail_sharded, self.submat_dev) \
                     if tail_sharded is not None else None
                 self.prof_stacks[L] = (main_prof, tail_prof)
             else:
                 self.seq_stacks[L] = (seq_sharded, tail_sharded)
-            self.ids[L] = _put_sharded(self.mesh, P(AXIS),
-                                       np.ascontiguousarray(padded["id"]),
-                                       axis=0)
+            self.ids[L] = _put_local(self.mesh, P(AXIS), ids_loc,
+                                     (G, SUBLANES, LANES))
         self.metrics.add("engine_setup", time.perf_counter() - t_setup)
 
     def _bin_fn(self, L: int, k: int):
@@ -269,8 +274,10 @@ class DistributedSearchEngine:
                 self.seq_stacks[L]
             s, i = self._bin_fn(L, k)(q_pad, self.gaps, self.submat_dev,
                                       data, self.ids[L])
-            cand_s.append(np.asarray(s))
-            cand_i.append(np.asarray(i))
+            cand_s.append(s)            # stay on device: all bins dispatch
+            cand_i.append(i)            # before the host blocks on any
+        cand_s = [np.asarray(s) for s in cand_s]
+        cand_i = [np.asarray(i) for i in cand_i]
         scores = np.concatenate(cand_s) if cand_s else np.zeros(0, np.int32)
         ids = np.concatenate(cand_i) if cand_i else np.zeros(0, np.int32)
         valid = ids >= 0
@@ -345,8 +352,10 @@ class DistributedSearchEngine:
                 data = self.prof_stacks[L]
                 s, i = self._bin_batch_fn(L, k)(
                     qb, self.gaps, self.submat_dev, data, self.ids[L])
-                cand_s.append(np.asarray(s))
-                cand_i.append(np.asarray(i))
+                cand_s.append(s)
+                cand_i.append(i)
+            cand_s = [np.asarray(s) for s in cand_s]
+            cand_i = [np.asarray(i) for i in cand_i]
             scores = np.concatenate(cand_s, axis=1) if cand_s else \
                 np.zeros((len(idxs), 0), np.int32)
             ids = np.concatenate(cand_i, axis=1) if cand_i else \

@@ -55,7 +55,8 @@ class SearchConfig:
     profile_mode: str = "precompute"
     # One jitted program per search (bins + top-k) instead of one dispatch
     # per bin.  Measured slower on v5e (async multi-dispatch pipelines the
-    # per-call overhead under compute), so off by default.
+    # per-call overhead under compute), so off by default.  Single-chip
+    # SearchEngine only; DistributedSearchEngine always dispatches per bin.
     fused_dispatch: bool = False
 
     def __post_init__(self):
@@ -68,6 +69,13 @@ class SearchConfig:
             raise ValueError(
                 f"group_block must be a positive integer, got "
                 f"{self.group_block!r}")
+        q = self.query_pad_quantum
+        if not (isinstance(q, int) and 8 <= q <= 8192 and
+                (q & (q - 1)) == 0):
+            raise ValueError(
+                f"query_pad_quantum must be a power of two in [8, 8192], "
+                f"got {q!r} (padded query lengths must stay multiples of "
+                "u_rows)")
         if self.top < 1:
             raise ValueError(f"top must be >= 1, got {self.top!r}")
         if self.open_gap < 0 or self.extend_gap < 0:
@@ -122,9 +130,12 @@ def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
 
     def one_chunk(carry, prof_c):
         colH, colE, scores = carry
+        # per row block r the kernel needs only H[r*U - 1] of the previous
+        # chunk's boundary column: a strided [G, R, 8, 128] slice, not a
+        # full shifted copy of colH
         colHd = jnp.concatenate(
-            [jnp.zeros((G, 1, SUBLANES, LANES), acc_dtype), colH[:, :-1]],
-            axis=1)
+            [jnp.zeros((G, 1, SUBLANES, LANES), acc_dtype),
+             colH[:, u_rows - 1::u_rows][:, :-1]], axis=1)
         scores, colH, colE = sw_chunk(q_pad, gaps, prof_c, colH, colHd,
                                       colE, scores, u_rows=u_rows,
                                       group_block=group_block,
@@ -162,8 +173,8 @@ def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
         colH, colE, scores = carry
         prof_c = build_profile(seq_c, submat)
         colHd = jnp.concatenate(
-            [jnp.zeros((G, 1, SUBLANES, LANES), acc_dtype), colH[:, :-1]],
-            axis=1)
+            [jnp.zeros((G, 1, SUBLANES, LANES), acc_dtype),
+             colH[:, u_rows - 1::u_rows][:, :-1]], axis=1)
         scores, colH, colE = sw_chunk(q_pad, gaps, prof_c, colH, colHd,
                                       colE, scores, u_rows=u_rows,
                                       group_block=group_block,
@@ -219,8 +230,14 @@ def _topk(scores_flat, valid, k):
 
 def pad_query(query, config: "SearchConfig"):
     """Pad an encoded query with DUMMY rows per config.query_pad_quantum
-    (adaptive: see SearchConfig)."""
+    (adaptive: see SearchConfig).  Rejects un-encoded input — raw ASCII
+    would index the 24-row score profile out of bounds and silently score
+    garbage."""
     q = np.asarray(query, dtype=np.int32)
+    if q.size and (q.min() < 0 or q.max() > DUMMY):
+        raise ValueError(
+            "query contains codes outside 0..23 — encode residue strings "
+            "with oswald_tpu.encode() first")
     if q.size == 0:
         q = np.full(1, DUMMY, np.int32)
     quantum = max(config.query_pad_quantum, config.u_rows,
@@ -301,12 +318,9 @@ class SearchEngine:
                 tail_prof = _build_profile_jit(tail, self.submat) \
                     if tail is not None else None
                 self.prof_stacks[L] = (main_prof, tail_prof)
-            elif self.config.profile_mode == "stream":
+            else:                       # "stream" (config validates the set)
                 self.seq_stacks[L] = (
                     jnp.asarray(main.transpose(1, 0, 2, 3, 4)), tail)
-            else:
-                raise ValueError(
-                    f"unknown profile_mode {self.config.profile_mode!r}")
         self.submat_dev = jnp.asarray(self.submat)
 
         # slot -> sorted-sequence-id map in slot order (bins ascending);

@@ -170,6 +170,11 @@ def pack_sequences(seqs_flat, lengths, titles=None,
     """
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(lengths)
+    seqs_flat = np.asarray(seqs_flat, dtype=np.int8)
+    if seqs_flat.size and (seqs_flat.min() < 0 or seqs_flat.max() > DUMMY):
+        raise ValueError(
+            "sequence data contains codes outside 0..23 — encode residue "
+            "strings with oswald_tpu.encode() first")
     offsets = np.concatenate([[0], np.cumsum(lengths)])
     order = np.argsort(lengths, kind="stable")          # ascending by length
     sorted_lengths = lengths[order]

@@ -157,13 +157,15 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
     q:          int32[m_pad]               encoded query (scalar-prefetched)
     gaps:       int32[2]                    (open_gap, extend_gap)
     prof_chunk: int8[G, 24, POS, 128]       score profile (build_profile)
-    colH:       int32[G, m_pad, 8, 128]     H at previous chunk's last column
-    colHd:      int32[G, m_pad, 8, 128]     colH shifted down one row
-    colE:       int32[G, m_pad, 8, 128]     E candidates at this chunk's col 0
-    scores_in:  int32[G, 8, 128]            running per-lane max
+    colH:       acc[G, m_pad, 8, 128]       H at previous chunk's last column
+    colHd:      acc[G, R, 8, 128]           per row block r, H[r*U - 1] of
+                                            the previous chunk's last column
+                                            (zeros for r = 0)
+    colE:       acc[G, m_pad, 8, 128]       E candidates at this chunk's col 0
+    scores_in:  acc[G, 8, 128]              running per-lane max
 
     group_block: independent groups interleaved per kernel step (latency
-    hiding); G must divide it.  Returns (scores, colH_out, colE_out).
+    hiding); must divide G.  Returns (scores, colH_out, colE_out).
     """
     G = prof_chunk.shape[0]
     POS = prof_chunk.shape[2]
@@ -184,7 +186,7 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
             pl.BlockSpec((GB, U, SUBLANES, LANES),
                          lambda g, r, *_: (g, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, U, SUBLANES, LANES),
+            pl.BlockSpec((GB, 1, SUBLANES, LANES),
                          lambda g, r, *_: (g, r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GB, U, SUBLANES, LANES),

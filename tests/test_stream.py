@@ -1,0 +1,49 @@
+"""Streaming (out-of-core) preprocess must produce a database identical to
+the in-memory path."""
+
+import numpy as np
+
+from oswald_tpu.alphabet import ALPHABET
+from oswald_tpu.io import pack_sequences, parse_fasta
+from oswald_tpu.io.stream import preprocess_db_streaming
+
+from conftest import random_protein
+
+
+def _write_fasta(path, rng, n, lmax):
+    seqs = []
+    with open(path, "w") as f:
+        for i in range(n):
+            s = random_protein(rng, int(rng.integers(1, lmax)))
+            seqs.append(s)
+            body = "".join(ALPHABET[c] for c in s)
+            f.write(f">rec{i} d{i}\n")
+            for j in range(0, len(body), 57):
+                f.write(body[j:j + 57] + "\n")
+    return seqs
+
+
+def test_streaming_matches_in_memory(tmp_path, rng):
+    p = str(tmp_path / "db.fasta")
+    seqs = _write_fasta(p, rng, 2300, 250)
+    # tiny blocks force many record-boundary splits
+    db_s = preprocess_db_streaming(p, str(tmp_path / "s"),
+                                   block_bytes=4096, verbose=False)
+    titles, flat, lengths = parse_fasta(p)
+    db_m = pack_sequences(flat, lengths, titles)
+    assert db_s.n_seqs == db_m.n_seqs
+    assert db_s.n_residues == db_m.n_residues
+    assert db_s.titles == db_m.titles
+    assert db_s.bin_lengths == db_m.bin_lengths
+    for L in db_m.bin_lengths:
+        for k in ("seq", "len", "id"):
+            np.testing.assert_array_equal(
+                np.asarray(db_s.bins[L][k]), db_m.bins[L][k],
+                err_msg=f"bin {L} {k}")
+
+
+def test_streaming_single_block(tmp_path, rng):
+    p = str(tmp_path / "db.fasta")
+    _write_fasta(p, rng, 40, 60)
+    db = preprocess_db_streaming(p, str(tmp_path / "s1"), verbose=False)
+    assert db.n_seqs == 40
