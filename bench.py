@@ -73,8 +73,20 @@ def main():
         eng = SearchEngine(db, cfg)
     setup_s = time.perf_counter() - t0
 
-    # warm-up: compile every bin's program
-    eng.search(query)
+    # warm-up: compile every bin's program (retry once — the remote
+    # compile service throws transient errors under load)
+    def _retry(f, tries=3):
+        for t in range(tries):
+            try:
+                return f()
+            except Exception as e:        # noqa: BLE001 - transient infra
+                if t == tries - 1:
+                    raise
+                print(f"warmup retry after {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                time.sleep(5)
+
+    _retry(lambda: eng.search(query))
 
     times = []
     for _ in range(iters):
@@ -93,7 +105,7 @@ def main():
     nq = 10 if on_tpu else 2
     queries = [rng.integers(0, 23, size=args.qlen).astype(np.int8)
                for _ in range(nq)]
-    eng.search_many(queries)           # compile
+    _retry(lambda: eng.search_many(queries))     # compile
     btimes = []
     for _ in range(max(iters // 2, 1)):
         t0 = time.perf_counter()

@@ -59,6 +59,10 @@ def _add_search_args(sp):
                          "search into DIR (view in TensorBoard/Perfetto)")
     sp.add_argument("--metrics", action="store_true",
                     help="print phase timing metrics after the report")
+    sp.add_argument("--json", action="store_true",
+                    help="machine-readable output: one JSON object per "
+                         "query plus a run summary, instead of the text "
+                         "report")
 
 
 def build_parser():
@@ -143,6 +147,31 @@ def cmd_search(args):
                                      batch=not args.no_batch)
     search_s = time.perf_counter() - t0
 
+    from oswald_tpu.utils import gcups as _gcups
+    Q = sum(len(q) for q in queries)
+    D = db.n_residues
+    gcups = _gcups(Q, D, search_s)
+
+    if args.json:
+        import json as _json
+        for res in results:
+            print(_json.dumps({
+                "query": res.query_title, "length": res.query_length,
+                "hits": [{"score": int(s), "id": int(i), "title": t}
+                         for s, i, t in zip(res.scores, res.seq_ids,
+                                            res.titles)]}))
+        print(_json.dumps({
+            "summary": {"n_queries": len(queries), "db_seqs": db.n_seqs,
+                        "db_residues": db.n_residues,
+                        "search_s": round(search_s, 4),
+                        "setup_s": round(setup_s, 4),
+                        "gcups": round(gcups, 2), "devices": n_dev,
+                        "matrix": args.sm, "gap_open": args.gap_open,
+                        "gap_extend": args.gap_extend}}))
+        if args.metrics:
+            print(_json.dumps({"metrics": engine.metrics.as_dict()}))
+        return 0
+
     for i, res in enumerate(results):
         print(f"\nQuery no.\t\t\t{i + 1}")
         print(f"Query description: \t\t{res.query_title}")
@@ -150,11 +179,6 @@ def cmd_search(args):
         print("\nScore\tSequence description")
         for sc, title in zip(res.scores, res.titles):
             print(f"{int(sc)}\t{title}")
-
-    from oswald_tpu.utils import gcups as _gcups
-    Q = sum(len(q) for q in queries)
-    D = db.n_residues
-    gcups = _gcups(Q, D, search_s)
     print(f"\nSearch date:\t\t\t{time.ctime()}")
     print(f"Database:\t\t\t{args.db} ({db.n_seqs} sequences, "
           f"{db.n_residues} residues)")

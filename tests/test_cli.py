@@ -93,3 +93,26 @@ def test_cli_bad_matrix(tmp_path, fasta_db, capsys):
     assert main(["search", "-q", str(qpath), "-d", str(tmp_path / "db"),
                  "-s", "nosuchmatrix"]) == 2
     assert "unknown substitution matrix" in capsys.readouterr().err
+
+
+def test_cli_json_output(tmp_path, fasta_db, capsys):
+    import json
+    db_fasta, seqs = fasta_db
+    qpath = tmp_path / "q.fasta"
+    with open(qpath, "w") as f:
+        f.write(">jq\n" + "".join(ALPHABET[c] for c in seqs[2][:25]) + "\n")
+    assert main(["preprocess", "-i", str(db_fasta),
+                 "-o", str(tmp_path / "db")]) == 0
+    assert main(["search", "-q", str(qpath), "-d", str(tmp_path / "db"),
+                 "-r", "3", "--json", "--devices", "1"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    objs = [json.loads(l) for l in lines]
+    qobj = next(o for o in objs if "hits" in o)
+    assert qobj["query"] == "jq" and len(qobj["hits"]) == 3
+    sm = get_submat("blosum62")
+    want = sorted((sw_score_numpy(seqs[2][:25], s, sm) for s in seqs),
+                  reverse=True)[:3]
+    assert [h["score"] for h in qobj["hits"]] == want
+    summary = next(o for o in objs if "summary" in o)
+    assert summary["summary"]["n_queries"] == 1
