@@ -338,7 +338,8 @@ class DistributedSearchEngine:
             return [self.search(q, t) for q, t in zip(queries, titles)]
 
         t0 = time.perf_counter()
-        padded = [self._pad_query(q) for q in queries]
+        padded = [pad_query(q, self.config, for_batch=True)
+                  for q in queries]
         by_len = {}
         for i, qp in enumerate(padded):
             by_len.setdefault(qp.shape[0], []).append(i)

@@ -44,6 +44,12 @@ class SearchConfig:
     # unlike the reference whose per-query kernel launches take m verbatim,
     # FPGAsearch.c:204-219).
     query_pad_quantum: int = 64
+    # Batched searches pad to this coarser quantum instead: mixed-length
+    # batches then split into far fewer (m_pad, batch-size) programs.
+    # Measured on v5e (20 queries of 100-400 aa): 18% faster end-to-end
+    # and 26x less compilation than quantum 64 — the extra dummy rows are
+    # cheaper than the extra program dispatches and compiles.
+    batch_query_pad_quantum: int = 256
     interpret: bool | None = None  # None = auto (True off-TPU)
     # Kernel accumulator: "float32" issues ~10% faster than "int32" on the
     # VPU and is exact for SW scores (integers far below 2^24; max possible
@@ -69,13 +75,14 @@ class SearchConfig:
             raise ValueError(
                 f"group_block must be a positive integer, got "
                 f"{self.group_block!r}")
-        q = self.query_pad_quantum
-        if not (isinstance(q, int) and 8 <= q <= 8192 and
-                (q & (q - 1)) == 0):
-            raise ValueError(
-                f"query_pad_quantum must be a power of two in [8, 8192], "
-                f"got {q!r} (padded query lengths must stay multiples of "
-                "u_rows)")
+        for field in ("query_pad_quantum", "batch_query_pad_quantum"):
+            q = getattr(self, field)
+            if not (isinstance(q, int) and 8 <= q <= 8192 and
+                    (q & (q - 1)) == 0):
+                raise ValueError(
+                    f"{field} must be a power of two in [8, 8192], got "
+                    f"{q!r} (padded query lengths must stay multiples of "
+                    "u_rows)")
         if self.top < 1:
             raise ValueError(f"top must be >= 1, got {self.top!r}")
         if self.open_gap < 0 or self.extend_gap < 0:
@@ -228,10 +235,11 @@ def _topk(scores_flat, valid, k):
     return jax.lax.top_k(masked, k)
 
 
-def pad_query(query, config: "SearchConfig"):
+def pad_query(query, config: "SearchConfig", for_batch: bool = False):
     """Pad an encoded query with DUMMY rows per config.query_pad_quantum
-    (adaptive: see SearchConfig).  Rejects un-encoded input — raw ASCII
-    would index the 24-row score profile out of bounds and silently score
+    (adaptive: see SearchConfig; batched searches use the coarser
+    batch_query_pad_quantum).  Rejects un-encoded input — raw ASCII would
+    index the 24-row score profile out of bounds and silently score
     garbage."""
     q = np.asarray(query, dtype=np.int32)
     if q.size and (q.min() < 0 or q.max() > DUMMY):
@@ -240,7 +248,9 @@ def pad_query(query, config: "SearchConfig"):
             "with oswald_tpu.encode() first")
     if q.size == 0:
         q = np.full(1, DUMMY, np.int32)
-    quantum = max(config.query_pad_quantum, config.u_rows,
+    base = config.batch_query_pad_quantum if for_batch else \
+        config.query_pad_quantum
+    quantum = max(base, config.u_rows,
                   (1 << max(int(q.size).bit_length() - 1, 0)) // 8)
     m_pad = -(-q.size // quantum) * quantum
     return np.concatenate([q, np.full(m_pad - q.size, DUMMY, np.int32)])
@@ -442,7 +452,8 @@ class SearchEngine:
             return [self.search(q, t) for q, t in zip(queries, titles)]
 
         t0 = time.perf_counter()
-        padded = [self._pad_query(q) for q in queries]
+        padded = [pad_query(q, self.config, for_batch=True)
+                  for q in queries]
         by_len = {}
         for i, qp in enumerate(padded):
             by_len.setdefault(qp.shape[0], []).append(i)
