@@ -262,8 +262,16 @@ def save_db(db: PackedDB, out_path: str):
         for k in ("seq", "len", "id"):
             np.save(os.path.join(d, f"bin{L}_{k}.npy"), e[k])
     np.save(os.path.join(d, "lengths.npy"), db.lengths)
-    with open(os.path.join(d, "titles.txt"), "w") as f:
-        f.write("\n".join(db.titles))
+    with open(os.path.join(d, "titles.txt"), "wb") as f:
+        offs = [0]
+        for i, t in enumerate(db.titles):
+            if i:
+                f.write(b"\n")
+            f.write(t.encode("utf-8"))
+            offs.append(f.tell())
+    # byte offsets let huge databases resolve hit titles lazily (mmap)
+    np.save(os.path.join(d, "titles_idx.npy"),
+            np.asarray(offs, np.int64))
     meta = {"version": FORMAT_VERSION, "n_seqs": db.n_seqs,
             "n_residues": db.n_residues, "bins": sorted(db.bins.keys()),
             "group_lanes": GROUP_LANES}
@@ -271,9 +279,38 @@ def save_db(db: PackedDB, out_path: str):
         json.dump(meta, f)
 
 
-def load_db(path: str, mmap: bool = True) -> PackedDB:
+class LazyTitles:
+    """Sequence of titles resolved on demand from the mmap'd titles file.
+
+    A 100M-sequence database's titles are gigabytes of text; a search only
+    ever reads the k hit titles, so holding the list in RAM (the
+    reference's load_database_headers loads all of it,
+    /root/reference/host/src/sequences.c:1096-1127) would waste most of a
+    pod host's memory.
+    """
+
+    def __init__(self, path: str, offsets: np.ndarray):
+        self._buf = np.memmap(path, dtype=np.uint8, mode="r") \
+            if offsets[-1] else np.zeros(0, np.uint8)
+        self._offs = offsets
+
+    def __len__(self):
+        return len(self._offs) - 1
+
+    def __getitem__(self, i):
+        lo, hi = self._offs[i], self._offs[i + 1]
+        if i > 0:
+            lo += 1                                  # drop the leading '\n'
+        return self._buf[lo:hi].tobytes().decode("utf-8",
+                                                 errors="replace")
+
+
+def load_db(path: str, mmap: bool = True,
+            lazy_titles: bool | None = None) -> PackedDB:
     """Load a packed DB; arrays are memory-mapped by default so multi-host
-    shards can slice groups without reading the whole file."""
+    shards can slice groups without reading the whole file.  lazy_titles
+    (default: auto for >= 1M sequences, requires the titles_idx artifact)
+    resolves titles on demand instead of loading the list into RAM."""
     d = path if path.endswith(".oswt") else path + ".oswt"
     with open(os.path.join(d, "meta.json")) as f:
         meta = json.load(f)
@@ -285,8 +322,15 @@ def load_db(path: str, mmap: bool = True) -> PackedDB:
         bins[L] = {k: np.load(os.path.join(d, f"bin{L}_{k}.npy"), mmap_mode=mm)
                    for k in ("seq", "len", "id")}
     lengths = np.load(os.path.join(d, "lengths.npy"))
-    with open(os.path.join(d, "titles.txt")) as f:
-        titles = f.read().split("\n") if meta["n_seqs"] else []
+    idx_path = os.path.join(d, "titles_idx.npy")
+    if lazy_titles is None:
+        lazy_titles = meta["n_seqs"] >= 1_000_000 and os.path.exists(idx_path)
+    if lazy_titles:
+        titles = LazyTitles(os.path.join(d, "titles.txt"),
+                            np.load(idx_path))
+    else:
+        with open(os.path.join(d, "titles.txt")) as f:
+            titles = f.read().split("\n") if meta["n_seqs"] else []
     return PackedDB(bins=bins, lengths=lengths, titles=titles,
                     n_seqs=meta["n_seqs"], n_residues=meta["n_residues"])
 

@@ -103,12 +103,16 @@ def preprocess_db_streaming(fasta_path: str, out_path: str,
     with open(tmp_titles, "rb") as tf:
         tbuf = np.memmap(tf, dtype=np.uint8, mode="r") if toffs[-1] else \
             np.zeros(0, np.uint8)
+        sorted_offs = [0]
         with open(os.path.join(d, "titles.txt"), "wb") as out:
             for i, src in enumerate(order):
                 if i:
                     out.write(b"\n")
                 out.write(tbuf[toffs[src]:toffs[src + 1]].tobytes())
+                sorted_offs.append(out.tell())
     os.remove(tmp_titles)
+    np.save(os.path.join(d, "titles_idx.npy"),
+            np.asarray(sorted_offs, np.int64))
 
     n_groups = -(-n // GROUP_LANES) if n else 0
     group_Ls = []

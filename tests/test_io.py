@@ -153,3 +153,17 @@ def test_engine_from_saved_db(tmp_path, rng):
     r2 = SearchEngine(db2, SearchConfig(top=4)).search(q)
     np.testing.assert_array_equal(r1.scores, r2.scores)
     np.testing.assert_array_equal(r1.seq_ids, r2.seq_ids)
+
+
+def test_lazy_titles(tmp_path, rng):
+    from oswald_tpu.io.db import save_db, load_db
+    titles, seqs, flat, lengths = _random_db(rng, 120, 60)
+    db = pack_sequences(flat, lengths, titles)
+    save_db(db, str(tmp_path / "lz"))
+    lazy = load_db(str(tmp_path / "lz"), lazy_titles=True)
+    eager = load_db(str(tmp_path / "lz"), lazy_titles=False)
+    assert len(lazy.titles) == 120
+    for i in (0, 1, 57, 119):
+        assert lazy.title_of(i) == eager.titles[i]
+    # unicode and empty-adjacent handling
+    assert lazy.titles[119] == eager.titles[119]
