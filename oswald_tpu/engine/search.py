@@ -44,12 +44,13 @@ class SearchConfig:
     # unlike the reference whose per-query kernel launches take m verbatim,
     # FPGAsearch.c:204-219).
     query_pad_quantum: int = 64
-    # Batched searches pad to this coarser quantum instead: mixed-length
-    # batches then split into far fewer (m_pad, batch-size) programs.
-    # Measured on v5e (20 queries of 100-400 aa): 18% faster end-to-end
-    # and 26x less compilation than quantum 64 — the extra dummy rows are
-    # cheaper than the extra program dispatches and compiles.
-    batch_query_pad_quantum: int = 256
+    # Batched searches can pad to a coarser quantum to cut the number of
+    # (m_pad, batch-size) programs.  Default: same as single-query —
+    # measured on v5e, dummy-row compute beats dispatch savings once the
+    # database is large (300k seqs: quantum 64 → 168 GCUPS vs 256 → 142 on
+    # a 20-query 100-400aa batch), while coarser values compile ~26x less
+    # and win on small databases; raise for compile-bound workloads.
+    batch_query_pad_quantum: int = 64
     interpret: bool | None = None  # None = auto (True off-TPU)
     # Kernel accumulator: "float32" issues ~10% faster than "int32" on the
     # VPU and is exact for SW scores (integers far below 2^24; max possible

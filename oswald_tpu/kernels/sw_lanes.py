@@ -51,6 +51,7 @@ SUBLANES = 8
 LANES = 128
 POS_PER_CHUNK = CHUNK_WIDTH * SUBLANES   # flattened (j, sublane) rows
 DEFAULT_U_ROWS = 8
+COL_UNROLL = int(os.environ.get("SW_COL_UNROLL", "1"))
 _ABLATE_S = bool(os.environ.get("SW_ABLATE_S"))   # perf experiments only
 
 
@@ -107,7 +108,7 @@ def _kernel(u_rows, gb, acc_dtype, q_ref, gaps_ref, prof_ref, colh_ref,
     carry0 = (tuple(colhd_ref[g, 0] for g in range(gb)),
               tuple(zero for _ in range(gb)), e0, hl0)
 
-    def body(j, carry):
+    def one_col(j, carry):
         hprev, smax, e, hl = carry
         p = j * SUBLANES
         hrow_j = [hrow_ref[g, pl.ds(p, SUBLANES), :] for g in range(gb)]
@@ -138,7 +139,17 @@ def _kernel(u_rows, gb, acc_dtype, q_ref, gaps_ref, prof_ref, colh_ref,
                 tuple(tuple(eu) for eu in e),
                 tuple(tuple(hu) for hu in hl))
 
-    _, smax, e, hl = jax.lax.fori_loop(0, W, body, carry0)
+    # COL_UNROLL columns per fori iteration: the loop is a scheduling
+    # barrier, and consecutive columns only have a one-row-skew dependency,
+    # so unrolling lets the compiler overlap their chains
+    assert W % COL_UNROLL == 0, (W, COL_UNROLL)
+
+    def body(jj, carry):
+        for k in range(COL_UNROLL):
+            carry = one_col(jj * COL_UNROLL + k, carry)
+        return carry
+
+    _, smax, e, hl = jax.lax.fori_loop(0, W // COL_UNROLL, body, carry0)
     for g in range(gb):
         scores_ref[g] = jnp.maximum(scores_ref[g], smax[g])
         for u in range(U):
