@@ -51,7 +51,11 @@ SUBLANES = 8
 LANES = 128
 POS_PER_CHUNK = CHUNK_WIDTH * SUBLANES   # flattened (j, sublane) rows
 DEFAULT_U_ROWS = 8
-COL_UNROLL = int(os.environ.get("SW_COL_UNROLL", "1"))
+# Columns per fori iteration: the loop is a scheduling barrier while
+# consecutive columns have only a one-row-skew dependency, so unrolling
+# lets Mosaic overlap their chains.  Measured v5e (U=8 GB=2 fp32):
+# 1 -> 201, 2 -> 224, 4 -> 227, 8 -> 231 GCUPS.
+COL_UNROLL = int(os.environ.get("SW_COL_UNROLL", "8"))
 _ABLATE_S = bool(os.environ.get("SW_ABLATE_S"))   # perf experiments only
 
 
@@ -74,9 +78,9 @@ def build_profile(db_chunk, submat):
     return prof.transpose(1, 0, 2, 3)
 
 
-def _kernel(u_rows, gb, acc_dtype, q_ref, gaps_ref, prof_ref, colh_ref,
-            colhd_ref, cole_ref, sin_ref, scores_ref, colho_ref, coleo_ref,
-            hrow_ref, fcol_ref):
+def _kernel(u_rows, gb, acc_dtype, col_unroll, q_ref, gaps_ref, prof_ref,
+            colh_ref, colhd_ref, cole_ref, sin_ref, scores_ref, colho_ref,
+            coleo_ref, hrow_ref, fcol_ref):
     r = pl.program_id(1)
     U = u_rows
     W = prof_ref.shape[2] // SUBLANES
@@ -139,17 +143,17 @@ def _kernel(u_rows, gb, acc_dtype, q_ref, gaps_ref, prof_ref, colh_ref,
                 tuple(tuple(eu) for eu in e),
                 tuple(tuple(hu) for hu in hl))
 
-    # COL_UNROLL columns per fori iteration: the loop is a scheduling
+    # col_unroll columns per fori iteration: the loop is a scheduling
     # barrier, and consecutive columns only have a one-row-skew dependency,
     # so unrolling lets the compiler overlap their chains
-    assert W % COL_UNROLL == 0, (W, COL_UNROLL)
+    assert W % col_unroll == 0, (W, col_unroll)
 
     def body(jj, carry):
-        for k in range(COL_UNROLL):
-            carry = one_col(jj * COL_UNROLL + k, carry)
+        for k in range(col_unroll):
+            carry = one_col(jj * col_unroll + k, carry)
         return carry
 
-    _, smax, e, hl = jax.lax.fori_loop(0, W // COL_UNROLL, body, carry0)
+    _, smax, e, hl = jax.lax.fori_loop(0, W // col_unroll, body, carry0)
     for g in range(gb):
         scores_ref[g] = jnp.maximum(scores_ref[g], smax[g])
         for u in range(U):
@@ -224,7 +228,10 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
         ],
     )
 
-    kernel = functools.partial(_kernel, U, GB, acc_dtype)
+    # interpret mode executes the traced body op by op, so unrolling only
+    # slows it down; compiled mode gets the measured +15%
+    cu = 1 if interpret else COL_UNROLL
+    kernel = functools.partial(_kernel, U, GB, acc_dtype, cu)
     cells = G * m_pad * (POS // SUBLANES) * SUBLANES * LANES
     return pl.pallas_call(
         kernel,
