@@ -154,6 +154,9 @@ void oswald_pack_groups(const int8_t* seqs, const int64_t* offsets,
   }
 }
 
-int oswald_io_version() { return 1; }
+// ABI version; oswald_tpu.io.native refuses to use a library whose version
+// does not match its expectation (a stale build from an older checkout
+// could otherwise silently diverge from this source).
+int oswald_io_version() { return 2; }
 
 }  // extern "C"

@@ -224,18 +224,19 @@ class DistributedSearchEngine:
         if key in self._bin_fns:
             return self._bin_fns[key]
         u_rows, interpret = self.config.u_rows, self._interpret
-        gb, acc = self.config.group_block, self._acc
+        gb, acc, cu = (self.config.group_block, self._acc,
+                       self.config.col_unroll)
         precompute = self.config.profile_mode == "precompute"
 
         def local_fn(q_pad, gaps, submat, data, ids):
             main, tail = data
             if precompute:
                 scores = _search_bin_impl(q_pad, gaps, main, u_rows,
-                                          interpret, gb, acc, tail)
+                                          interpret, gb, acc, tail, cu)
             else:
                 scores = _search_bin_stream_impl(q_pad, gaps, submat, main,
                                                  u_rows, interpret, gb, acc,
-                                                 tail)
+                                                 tail, cu)
             flat = scores.reshape(-1)
             idsf = ids.reshape(-1)
             masked = jnp.where(idsf >= 0, flat, -1)
@@ -301,12 +302,13 @@ class DistributedSearchEngine:
         if key in self._bin_fns:
             return self._bin_fns[key]
         u_rows, interpret = self.config.u_rows, self._interpret
-        gb, acc = self.config.group_block, self._acc
+        gb, acc, cu = (self.config.group_block, self._acc,
+                       self.config.col_unroll)
 
         def local_fn(q_batch, gaps, submat, data, ids):
             main, tail = data
             scores = _search_bin_batch_impl(q_batch, gaps, main, u_rows,
-                                            interpret, gb, acc, tail)
+                                            interpret, gb, acc, tail, cu)
             Q = q_batch.shape[0]
             flat = scores.reshape(Q, -1)
             idsf = ids.reshape(-1)

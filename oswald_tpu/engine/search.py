@@ -37,6 +37,10 @@ class SearchConfig:
     group_block: int = 2        # independent groups interleaved per kernel
                                 # step (VPU latency hiding); bins are padded
                                 # with score-inert dummy groups to a multiple
+    col_unroll: int = 8         # DP columns advanced per kernel loop
+                                # iteration (scheduling-barrier unroll;
+                                # measured v5e: 1/2/4/8 -> 201/224/227/231
+                                # GCUPS); must divide 64
     # Query padding: m rounds up to a multiple of max(query_pad_quantum,
     # 2^floor(log2(m))/8).  The adaptive term caps dummy-row compute at
     # ~12.5% while keeping the number of distinct compiled query shapes
@@ -76,6 +80,11 @@ class SearchConfig:
             raise ValueError(
                 f"group_block must be a positive integer, got "
                 f"{self.group_block!r}")
+        cu = self.col_unroll
+        if not (isinstance(cu, int) and 1 <= cu <= 64 and 64 % cu == 0):
+            raise ValueError(
+                f"col_unroll must be a divisor of 64, got {cu!r} (it must "
+                "divide both full 128-column and tail 64-column chunks)")
         for field in ("query_pad_quantum", "batch_query_pad_quantum"):
             q = getattr(self, field)
             if not (isinstance(q, int) and 8 <= q <= 8192 and
@@ -119,7 +128,8 @@ class SearchResult:
 
 
 def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
-                     group_block=1, acc_dtype=jnp.int32, prof_tail=None):
+                     group_block=1, acc_dtype=jnp.int32, prof_tail=None,
+                     col_unroll=8):
     """Scan all column chunks of one bin; returns [G, 8, 128] int32 scores.
 
     prof_stack: int8[C, G, 24, POS, 128] precomputed score profiles for the
@@ -148,7 +158,8 @@ def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
                                       colE, scores, u_rows=u_rows,
                                       group_block=group_block,
                                       acc_dtype=acc_dtype,
-                                      interpret=interpret)
+                                      interpret=interpret,
+                                      col_unroll=col_unroll)
         return (colH, colE, scores), None
 
     carry, _ = jax.lax.scan(one_chunk, (colH, colE, scores), prof_stack)
@@ -159,7 +170,7 @@ def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
 
 def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
                             interpret, group_block=1, acc_dtype=jnp.int32,
-                            seq_tail=None):
+                            seq_tail=None, col_unroll=8):
     """Like `_search_bin_impl` but builds each chunk's score profile on the
     fly from the packed residues (seq_chunks: int8[C, G, W, 8, 128],
     seq_tail: optional int8[G, W/2, 8, 128]).
@@ -187,7 +198,8 @@ def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
                                       colE, scores, u_rows=u_rows,
                                       group_block=group_block,
                                       acc_dtype=acc_dtype,
-                                      interpret=interpret)
+                                      interpret=interpret,
+                                      col_unroll=col_unroll)
         return (colH, colE, scores), None
 
     carry, _ = jax.lax.scan(one_chunk, (colH, colE, scores), seq_chunks)
@@ -198,7 +210,7 @@ def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
 
 def _search_bin_batch_impl(q_batch, gaps, prof_stack, u_rows, interpret,
                            group_block=1, acc_dtype=jnp.int32,
-                           prof_tail=None):
+                           prof_tail=None, col_unroll=8):
     """Scores for a batch of same-padded-length queries against one bin.
 
     q_batch: int32[Q, m_pad].  Returns int32[Q, G, 8, 128].  Queries run
@@ -210,20 +222,15 @@ def _search_bin_batch_impl(q_batch, gaps, prof_stack, u_rows, interpret,
     def one(_, q_pad):
         return None, _search_bin_impl(q_pad, gaps, prof_stack, u_rows,
                                       interpret, group_block, acc_dtype,
-                                      prof_tail)
+                                      prof_tail, col_unroll)
     _, scores = jax.lax.scan(one, None, q_batch)
     return scores
 
 
-_search_bin = jax.jit(_search_bin_impl,
-                      static_argnames=("u_rows", "interpret", "group_block",
-                                       "acc_dtype"))
-_search_bin_stream = jax.jit(
-    _search_bin_stream_impl,
-    static_argnames=("u_rows", "interpret", "group_block", "acc_dtype"))
-_search_bin_batch = jax.jit(
-    _search_bin_batch_impl,
-    static_argnames=("u_rows", "interpret", "group_block", "acc_dtype"))
+_STATIC = ("u_rows", "interpret", "group_block", "acc_dtype", "col_unroll")
+_search_bin = jax.jit(_search_bin_impl, static_argnames=_STATIC)
+_search_bin_stream = jax.jit(_search_bin_stream_impl, static_argnames=_STATIC)
+_search_bin_batch = jax.jit(_search_bin_batch_impl, static_argnames=_STATIC)
 
 
 _build_profile_stack = jax.jit(jax.vmap(build_profile, in_axes=(0, None)))
@@ -352,8 +359,8 @@ class SearchEngine:
         ~25-30% of a 100k-sequence search through the remote runtime)."""
         if k in self._search_fns:
             return self._search_fns[k]
-        u, gb, acc = (self.config.u_rows, self.config.group_block,
-                      self._acc)
+        u, gb, acc, cu = (self.config.u_rows, self.config.group_block,
+                          self._acc, self.config.col_unroll)
         interpret = self._interpret
         precompute = self.config.profile_mode == "precompute"
         bin_lengths = tuple(self.db.bin_lengths)
@@ -365,11 +372,11 @@ class SearchEngine:
                 main, tail = stacks[L]
                 if precompute:
                     s = _search_bin_impl(q_pad, gaps, main, u,
-                                         interpret, gb, acc, tail)
+                                         interpret, gb, acc, tail, cu)
                 else:
                     s = _search_bin_stream_impl(q_pad, gaps, submat,
                                                 main, u, interpret,
-                                                gb, acc, tail)
+                                                gb, acc, tail, cu)
                 outs.append(s.reshape(-1))
             flat = jnp.concatenate(outs) if outs else \
                 jnp.zeros((0,), jnp.int32)
@@ -388,14 +395,15 @@ class SearchEngine:
                 main, tail = self.prof_stacks[L]
                 s = _search_bin(q_pad, self.gaps, main,
                                 self.config.u_rows, self._interpret,
-                                self.config.group_block, self._acc, tail)
+                                self.config.group_block, self._acc, tail,
+                                self.config.col_unroll)
             else:
                 main, tail = self.seq_stacks[L]
                 s = _search_bin_stream(q_pad, self.gaps, self.submat_dev,
                                        main, self.config.u_rows,
                                        self._interpret,
                                        self.config.group_block, self._acc,
-                                       tail)
+                                       tail, self.config.col_unroll)
             outs.append(s.reshape(-1))
         return jnp.concatenate(outs) if outs else jnp.zeros((0,), jnp.int32)
 
@@ -469,7 +477,7 @@ class SearchEngine:
                 s = _search_bin_batch(qb, self.gaps, main,
                                       self.config.u_rows, self._interpret,
                                       self.config.group_block, self._acc,
-                                      tail)
+                                      tail, self.config.col_unroll)
                 outs.append(s.reshape(len(idxs), -1))
             flat = jnp.concatenate(outs, axis=1)
             top_scores, top_slots = jax.vmap(

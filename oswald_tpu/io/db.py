@@ -39,7 +39,11 @@ GROUP_LANES = SUBLANES * LANES          # 1024 sequences per group
 # /root/reference/host/src/sequences.c:461-463).
 LENGTH_QUANTUM = 64
 
-FORMAT_VERSION = 1
+# v1: original artifact (128-quantum bins, eager titles only).
+# v2: 64-quantum bins + titles_idx.npy (lazy title resolution).
+# load_db accepts both; v1 artifacts fall back to eager titles.
+FORMAT_VERSION = 2
+_SUPPORTED_VERSIONS = (1, 2)
 
 
 @dataclasses.dataclass
@@ -314,8 +318,10 @@ def load_db(path: str, mmap: bool = True,
     d = path if path.endswith(".oswt") else path + ".oswt"
     with open(os.path.join(d, "meta.json")) as f:
         meta = json.load(f)
-    if meta["version"] != FORMAT_VERSION:
-        raise ValueError(f"unsupported db format version {meta['version']}")
+    if meta["version"] not in _SUPPORTED_VERSIONS:
+        raise ValueError(
+            f"unsupported db format version {meta['version']} (this build "
+            f"reads versions {_SUPPORTED_VERSIONS})")
     mm = "r" if mmap else None
     bins = {}
     for L in meta["bins"]:
@@ -323,6 +329,13 @@ def load_db(path: str, mmap: bool = True,
                    for k in ("seq", "len", "id")}
     lengths = np.load(os.path.join(d, "lengths.npy"))
     idx_path = os.path.join(d, "titles_idx.npy")
+    if lazy_titles and not os.path.exists(idx_path):
+        # v1 artifacts have no byte-offset index; honor the request as far
+        # as possible rather than crashing on a missing file
+        print(f"oswald-tpu: {d} is a v{meta['version']} artifact without "
+              "titles_idx.npy; loading titles eagerly (re-run preprocess "
+              "to enable lazy titles)")
+        lazy_titles = False
     if lazy_titles is None:
         lazy_titles = meta["n_seqs"] >= 1_000_000 and os.path.exists(idx_path)
     if lazy_titles:

@@ -10,28 +10,59 @@ implementations when it is not.
 
 import ctypes
 import os
+import subprocess
 
 import numpy as np
 
+_NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
 _LIB_PATHS = [
-    os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                 "liboswald_io.so"),
+    os.path.join(_NATIVE_DIR, "liboswald_io.so"),
     os.path.join(os.path.dirname(__file__), "liboswald_io.so"),
 ]
 
+# must match oswald_io_version() in native/oswald_io.cpp; a stale build from
+# an older checkout is rejected (falls back to numpy) instead of silently
+# diverging
+_EXPECTED_VERSION = 2
+
 _lib = None
+_build_attempted = False
+
+
+def _try_build():
+    """Best-effort first-use build (`make -C native`); quiet on failure —
+    the numpy fallback is always available."""
+    global _build_attempted
+    if _build_attempted or not os.path.isfile(
+            os.path.join(_NATIVE_DIR, "Makefile")):
+        return
+    _build_attempted = True
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=False,
+                       capture_output=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        pass
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
+    if not any(os.path.exists(os.path.abspath(p)) for p in _LIB_PATHS):
+        _try_build()
     for p in _LIB_PATHS:
         p = os.path.abspath(p)
         if os.path.exists(p):
             try:
                 lib = ctypes.CDLL(p)
             except OSError:
+                continue
+            try:
+                lib.oswald_io_version.restype = ctypes.c_int
+                if lib.oswald_io_version() != _EXPECTED_VERSION:
+                    continue                     # stale/ABI-mismatched build
+            except AttributeError:
                 continue
             c_i8p = ctypes.POINTER(ctypes.c_int8)
             c_u8p = ctypes.POINTER(ctypes.c_uint8)

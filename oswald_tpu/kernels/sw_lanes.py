@@ -37,7 +37,6 @@ profile block (index depends only on g) stays resident for a whole group.
 """
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -54,9 +53,13 @@ DEFAULT_U_ROWS = 8
 # Columns per fori iteration: the loop is a scheduling barrier while
 # consecutive columns have only a one-row-skew dependency, so unrolling
 # lets Mosaic overlap their chains.  Measured v5e (U=8 GB=2 fp32):
-# 1 -> 201, 2 -> 224, 4 -> 227, 8 -> 231 GCUPS.
-COL_UNROLL = int(os.environ.get("SW_COL_UNROLL", "8"))
-_ABLATE_S = bool(os.environ.get("SW_ABLATE_S"))   # perf experiments only
+# 1 -> 201, 2 -> 224, 4 -> 227, 8 -> 231 GCUPS.  Owned by
+# SearchConfig.col_unroll; this is only the default.
+DEFAULT_COL_UNROLL = 8
+# perf-ablation hook (bounds the profile-load cost by replacing loads with
+# a constant); patch the module attribute from an experiment script — no
+# env knobs in the kernel path
+_ABLATE_S = False
 
 
 def build_profile(db_chunk, submat):
@@ -145,9 +148,8 @@ def _kernel(u_rows, gb, acc_dtype, col_unroll, q_ref, gaps_ref, prof_ref,
 
     # col_unroll columns per fori iteration: the loop is a scheduling
     # barrier, and consecutive columns only have a one-row-skew dependency,
-    # so unrolling lets the compiler overlap their chains
-    assert W % col_unroll == 0, (W, col_unroll)
-
+    # so unrolling lets the compiler overlap their chains (validated in
+    # sw_chunk; W is always a multiple of col_unroll here)
     def body(jj, carry):
         for k in range(col_unroll):
             carry = one_col(jj * col_unroll + k, carry)
@@ -163,10 +165,11 @@ def _kernel(u_rows, gb, acc_dtype, col_unroll, q_ref, gaps_ref, prof_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("u_rows", "group_block", "acc_dtype",
-                                    "interpret"))
+                                    "interpret", "col_unroll"))
 def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
              u_rows: int = DEFAULT_U_ROWS, group_block: int = 1,
-             acc_dtype=jnp.int32, interpret: bool = False):
+             acc_dtype=jnp.int32, interpret: bool = False,
+             col_unroll: int = DEFAULT_COL_UNROLL):
     """Score one column chunk of the DP matrix for all groups.
 
     q:          int32[m_pad]               encoded query (scalar-prefetched)
@@ -180,11 +183,22 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
     scores_in:  acc[G, 8, 128]              running per-lane max
 
     group_block: independent groups interleaved per kernel step (latency
-    hiding); must divide G.  Returns (scores, colH_out, colE_out).
+    hiding); must divide G.  col_unroll: columns advanced per fori-loop
+    iteration; must divide the chunk's column count (64 or 128, so any
+    power of two <= 64 is always valid).  Returns (scores, colH_out,
+    colE_out).
     """
     G = prof_chunk.shape[0]
     POS = prof_chunk.shape[2]
     m_pad = q.shape[0]
+    W_cols = POS // SUBLANES
+    if not (isinstance(col_unroll, int) and col_unroll >= 1 and
+            W_cols % col_unroll == 0):
+        # explicit raise (not assert): a bad value under `python -O` would
+        # silently skip trailing columns and corrupt scores
+        raise ValueError(
+            f"col_unroll must be a positive divisor of the chunk column "
+            f"count {W_cols}, got {col_unroll!r}")
     assert m_pad % u_rows == 0, (m_pad, u_rows)
     assert G % group_block == 0, (G, group_block)
     R = m_pad // u_rows
@@ -230,7 +244,7 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
 
     # interpret mode executes the traced body op by op, so unrolling only
     # slows it down; compiled mode gets the measured +15%
-    cu = 1 if interpret else COL_UNROLL
+    cu = 1 if interpret else col_unroll
     kernel = functools.partial(_kernel, U, GB, acc_dtype, cu)
     cells = G * m_pad * (POS // SUBLANES) * SUBLANES * LANES
     return pl.pallas_call(

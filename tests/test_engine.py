@@ -87,8 +87,15 @@ def test_engine_identical_sequence_found(rng):
     b62 = get_submat("blosum62")
     self_score = sum(int(b62[c, c]) for c in q)
     assert res.scores[0] == self_score
-    assert res.titles[0] == "s371" or \
-        int(res.scores[0]) >= self_score  # another seq may tie
+    # rank-1 must be the exact sequence the oracle's tie-break picks
+    # (lowest sorted id among max scorers), and the planted copy must be
+    # among them
+    want = _oracle_scores(q, db, seqs, lengths, b62, 10, 2)
+    max_ids = np.flatnonzero(want == want.max())
+    assert int(res.seq_ids[0]) == int(max_ids[0])
+    assert res.titles[0] == db.title_of(int(max_ids[0]))
+    planted = db.titles.index("s371")
+    assert planted in max_ids
 
 
 def test_engine_empty_query(rng):
