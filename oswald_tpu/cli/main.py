@@ -47,8 +47,16 @@ def _add_search_args(sp):
     sp.add_argument("--devices", type=int, default=None,
                     help="devices in the search mesh (default: all; "
                          "1 = single-chip engine)")
-    sp.add_argument("--profile-mode", choices=("precompute", "stream"),
-                    default="precompute")
+    sp.add_argument("--profile-mode",
+                    choices=("auto", "precompute", "stream", "host_stream"),
+                    default="auto",
+                    help="device data mode (default: auto — the HBM "
+                         "capacity planner picks the fastest mode that "
+                         "fits; host_stream handles databases larger than "
+                         "device memory)")
+    sp.add_argument("--hbm-budget-mb", type=int, default=None,
+                    help="override the planner's device-memory budget "
+                         "(MiB); mainly for testing the mode selection")
     sp.add_argument("--u-rows", type=int, default=8)
     sp.add_argument("--group-block", type=int, default=2)
     sp.add_argument("--no-batch", action="store_true",
@@ -118,7 +126,9 @@ def cmd_search(args):
                            extend_gap=args.gap_extend, top=args.top,
                            u_rows=args.u_rows,
                            group_block=args.group_block,
-                           profile_mode=args.profile_mode)
+                           profile_mode=args.profile_mode,
+                           hbm_budget_bytes=args.hbm_budget_mb << 20
+                           if args.hbm_budget_mb else None)
         n_dev = args.devices if args.devices is not None else \
             jax.device_count()
         if n_dev > 1:

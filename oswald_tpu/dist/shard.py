@@ -42,6 +42,7 @@ from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_impl, _search_bin_stream_impl,
     _search_bin_batch_impl, _split_chunks, pad_query,
 )
+from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics
 
 AXIS = "d"
@@ -155,6 +156,24 @@ class DistributedSearchEngine:
         self.submat_dev = jax.device_put(
             jnp.asarray(self.submat), NamedSharding(self.mesh, P()))
 
+        # resolve "auto" through the capacity planner with the per-device
+        # share (the group axis shards evenly over the mesh)
+        self.mode = self.config.profile_mode
+        if self.mode == "auto":
+            plan = plan_profile_mode(db, self.config.hbm_budget_bytes,
+                                     n_devices=self.ndev)
+            self.mode = plan.mode
+            if jax.process_index() == 0:
+                print(f"oswald-tpu dist engine [{self.ndev} devices]: "
+                      f"{plan.describe()}")
+        if self.mode == "host_stream":
+            raise NotImplementedError(
+                "host_stream is single-chip only for now: the database "
+                "exceeds the aggregate HBM budget of this mesh — add "
+                "devices, or search with the single-chip SearchEngine "
+                "(profile_mode='host_stream'), which streams the database "
+                "from host memory")
+
         build_sharded = jax.jit(
             jax.vmap(build_profile, in_axes=(0, None)),
             out_shardings=NamedSharding(self.mesh, P(None, AXIS)))
@@ -197,7 +216,7 @@ class DistributedSearchEngine:
                 tail_sharded = _put_local(
                     self.mesh, P(AXIS), np.ascontiguousarray(tail_loc),
                     (G,) + tail_loc.shape[1:])
-            if self.config.profile_mode == "precompute":
+            if self.mode == "precompute":
                 if C:
                     main_prof = build_sharded(seq_sharded, self.submat_dev)
                 else:
@@ -226,7 +245,7 @@ class DistributedSearchEngine:
         u_rows, interpret = self.config.u_rows, self._interpret
         gb, acc, cu = (self.config.group_block, self._acc,
                        self.config.col_unroll)
-        precompute = self.config.profile_mode == "precompute"
+        precompute = self.mode == "precompute"
 
         def local_fn(q_pad, gaps, submat, data, ids):
             main, tail = data
@@ -271,7 +290,7 @@ class DistributedSearchEngine:
         cand_s, cand_i = [], []
         for L in self.db.bin_lengths:
             data = self.prof_stacks[L] if \
-                self.config.profile_mode == "precompute" else \
+                self.mode == "precompute" else \
                 self.seq_stacks[L]
             s, i = self._bin_fn(L, k)(q_pad, self.gaps, self.submat_dev,
                                       data, self.ids[L])
@@ -336,7 +355,7 @@ class DistributedSearchEngine:
         SearchEngine.search_many)."""
         titles = titles or [f"query{i}" for i in range(len(queries))]
         if not batch or len(queries) <= 1 or \
-                self.config.profile_mode != "precompute":
+                self.mode != "precompute":
             return [self.search(q, t) for q, t in zip(queries, titles)]
 
         t0 = time.perf_counter()

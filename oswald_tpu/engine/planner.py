@@ -1,0 +1,112 @@
+"""HBM capacity planner: pick the device data mode a database fits in.
+
+TPU-native analog of the reference's device-memory auto-tune
+(`max_chunk_size = min(max_chunk_size, 0.8 * global_mem / SUBMAT_ROWS)`,
+/root/reference/host/src/utils.c:162-168) and its bounded-chunk streaming
+search (FPGAsearch.c:180-237).  The reference always streams host->device
+chunks; on TPU the fastest mode keeps the whole database (or its 24x score
+profiles) resident in HBM, so the planner picks the *most resident* mode
+that fits:
+
+  precompute   24x int8 score profiles resident in HBM (no per-query
+               profile gather).  Fastest; costs 24 bytes/padded residue.
+  stream       packed residues resident in HBM; profiles rebuilt per chunk
+               inside the scan.  1 byte/padded residue.
+  host_stream  packed residues stay host-side (mmap); group slices are
+               transferred per search, double-buffered under compute.
+               HBM cost is two slices + scan state, independent of
+               database size — this is the mode for databases larger than
+               device memory.
+"""
+
+import dataclasses
+
+import jax
+
+# v5e HBM; used when the runtime exposes no memory_stats (the axon tunnel
+# returns None).  Overridable per engine via SearchConfig.hbm_budget_bytes.
+DEFAULT_HBM_BYTES = 16 << 30
+# Fraction of HBM the planner will commit to database residency — the
+# reference reserves the same 0.8 headroom (utils.c:162-168); the rest
+# covers XLA scratch, fragmentation and transient transfers.
+SAFETY_FRACTION = 0.8
+# Scan-state sizing: colH + colE are [G, m_pad, 8, 128] accumulators per
+# bin; the planner budgets for a reference query of this many padded rows
+# (covers typical protein queries; titin-scale queries in a tight-memory
+# deployment should use host_stream explicitly).
+PLAN_QUERY_ROWS = 1024
+ALPHA_ROWS = 24
+GROUP_LANES = 1024
+ACC_BYTES = 4
+
+
+def device_hbm_bytes(device=None) -> int:
+    """Device HBM capacity; falls back to DEFAULT_HBM_BYTES when the
+    runtime hides memory_stats (e.g. through the axon tunnel)."""
+    if device is None:
+        device = jax.devices()[0]
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        stats = None
+    if stats and stats.get("bytes_limit"):
+        return int(stats["bytes_limit"])
+    return DEFAULT_HBM_BYTES
+
+
+def db_padded_bytes(db) -> int:
+    """Packed residue bytes (1 byte each) over all bins, padding included."""
+    total = 0
+    for L in db.bin_lengths:
+        G = db.bins[L]["seq"].shape[0]
+        total += G * L * GROUP_LANES
+    return total
+
+
+def _scan_state_bytes(db, n_devices: int) -> int:
+    """colH + colE for the largest per-device bin share (2 arrays, double
+    counted for XLA's scan in/out copies)."""
+    worst = 0
+    for L in db.bin_lengths:
+        G = -(-db.bins[L]["seq"].shape[0] // n_devices)
+        worst = max(worst, G)
+    return 4 * ACC_BYTES * worst * PLAN_QUERY_ROWS * GROUP_LANES
+
+
+@dataclasses.dataclass
+class Plan:
+    mode: str                 # "precompute" | "stream" | "host_stream"
+    db_bytes: int             # padded residue bytes (per device share)
+    profile_bytes: int        # precompute-mode residency (per device share)
+    state_bytes: int          # transient scan-state estimate
+    budget_bytes: int         # SAFETY_FRACTION * HBM
+
+    def describe(self) -> str:
+        gib = 1 << 30
+        return (f"profile_mode={self.mode} (planner: db "
+                f"{self.db_bytes / gib:.2f} GiB packed, profiles "
+                f"{self.profile_bytes / gib:.2f} GiB, scan state "
+                f"{self.state_bytes / gib:.2f} GiB, HBM budget "
+                f"{self.budget_bytes / gib:.2f} GiB)")
+
+
+def plan_profile_mode(db, hbm_bytes: int | None = None,
+                      n_devices: int = 1) -> Plan:
+    """Pick the fastest data mode whose residency fits the HBM budget.
+
+    n_devices: the database's group axis shards evenly across the mesh, so
+    each device holds a 1/n share (distributed engines pass their mesh
+    size)."""
+    budget = int(SAFETY_FRACTION * (hbm_bytes if hbm_bytes is not None
+                                    else device_hbm_bytes()))
+    share = -(-db_padded_bytes(db) // max(n_devices, 1))
+    state = _scan_state_bytes(db, max(n_devices, 1))
+    prof = ALPHA_ROWS * share
+    if prof + state <= budget:
+        mode = "precompute"
+    elif share + state <= budget:
+        mode = "stream"
+    else:
+        mode = "host_stream"
+    return Plan(mode=mode, db_bytes=share, profile_bytes=prof,
+                state_bytes=state, budget_bytes=budget)

@@ -24,6 +24,7 @@ from oswald_tpu.alphabet import DUMMY
 from oswald_tpu.submat import get_submat
 from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
 from oswald_tpu.kernels import sw_chunk, build_profile, CHUNK_WIDTH
+from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics
 
 
@@ -60,10 +61,22 @@ class SearchConfig:
     # VPU and is exact for SW scores (integers far below 2^24; max possible
     # score ~ 15 * 5478 << 2^24).  Measured v5e: 190 vs 174 GCUPS.
     acc_dtype: str = "float32"
-    # "precompute": build 24x score profiles once per engine (fastest, 24x
-    # residues of HBM).  "stream": rebuild each chunk's profile per query
-    # inside the scan (for databases too big to hold profiles in HBM).
-    profile_mode: str = "precompute"
+    # "auto": let the HBM capacity planner (engine/planner.py, the analog
+    # of the reference's 0.8*global_mem chunk cap, utils.c:162-168) pick the
+    # fastest mode that fits.  "precompute": 24x score profiles resident in
+    # HBM (fastest).  "stream": packed residues resident, profiles rebuilt
+    # per chunk inside the scan (24x less HBM).  "host_stream": residues
+    # stay host-side (mmap); group slices are transferred per search,
+    # double-buffered under compute — for databases larger than HBM (the
+    # reference's bounded-chunk streaming, FPGAsearch.c:180-237).
+    profile_mode: str = "auto"
+    # Planner HBM budget override (bytes); None = query the device (or the
+    # 16 GiB v5e default when the runtime hides memory stats).  Tests set a
+    # tiny budget to force host_stream on small databases.
+    hbm_budget_bytes: int | None = None
+    # host_stream transfer granularity: target packed-residue bytes per
+    # host->device slice (rounded to whole group_block multiples per bin).
+    host_stream_slice_mb: int = 256
     # One jitted program per search (bins + top-k) instead of one dispatch
     # per bin.  Measured slower on v5e (async multi-dispatch pipelines the
     # per-call overhead under compute), so off by default.  Single-chip
@@ -103,10 +116,15 @@ class SearchConfig:
             raise ValueError(
                 f"acc_dtype must be 'int32' or 'float32', got "
                 f"{self.acc_dtype!r}")
-        if self.profile_mode not in ("precompute", "stream"):
+        if self.profile_mode not in ("auto", "precompute", "stream",
+                                     "host_stream"):
             raise ValueError(
-                f"profile_mode must be 'precompute' or 'stream', got "
-                f"{self.profile_mode!r}")
+                f"profile_mode must be 'auto', 'precompute', 'stream' or "
+                f"'host_stream', got {self.profile_mode!r}")
+        if self.host_stream_slice_mb < 1:
+            raise ValueError(
+                f"host_stream_slice_mb must be >= 1, got "
+                f"{self.host_stream_slice_mb!r}")
 
     def resolved_interpret(self) -> bool:
         if self.interpret is None:
@@ -227,10 +245,37 @@ def _search_bin_batch_impl(q_batch, gaps, prof_stack, u_rows, interpret,
     return scores
 
 
+def _search_bin_hostslice_impl(q_batch, gaps, submat, seq_slice, u_rows,
+                               interpret, group_block=1,
+                               acc_dtype=jnp.int32, col_unroll=8):
+    """Scores for a query batch against one host-streamed group slice.
+
+    seq_slice: int8[Gs, L, 8, 128] packed residues as stored on disk — the
+    slice is transferred in its storage layout (so a memory-mapped .oswt
+    bin can be device_put without any host-side copy) and rearranged into
+    chunk-major [C, Gs, W, 8, 128] on device, where the reshuffle is HBM
+    bandwidth, not PCIe.  Returns int32[Q, Gs, 8, 128].
+    """
+    Gs, L = seq_slice.shape[0], seq_slice.shape[1]
+    C = L // CHUNK_WIDTH
+    main = seq_slice[:, :C * CHUNK_WIDTH].reshape(
+        Gs, C, CHUNK_WIDTH, SUBLANES, LANES).transpose(1, 0, 2, 3, 4)
+    tail = seq_slice[:, C * CHUNK_WIDTH:] if L % CHUNK_WIDTH else None
+
+    def one(_, q_pad):
+        return None, _search_bin_stream_impl(
+            q_pad, gaps, submat, main, u_rows, interpret, group_block,
+            acc_dtype, tail, col_unroll)
+    _, scores = jax.lax.scan(one, None, q_batch)
+    return scores
+
+
 _STATIC = ("u_rows", "interpret", "group_block", "acc_dtype", "col_unroll")
 _search_bin = jax.jit(_search_bin_impl, static_argnames=_STATIC)
 _search_bin_stream = jax.jit(_search_bin_stream_impl, static_argnames=_STATIC)
 _search_bin_batch = jax.jit(_search_bin_batch_impl, static_argnames=_STATIC)
+_search_bin_hostslice = jax.jit(_search_bin_hostslice_impl,
+                                static_argnames=_STATIC)
 
 
 _build_profile_stack = jax.jit(jax.vmap(build_profile, in_axes=(0, None)))
@@ -241,6 +286,15 @@ _build_profile_jit = jax.jit(build_profile)
 def _topk(scores_flat, valid, k):
     masked = jnp.where(valid, scores_flat, -1)
     return jax.lax.top_k(masked, k)
+
+
+def _host_topk(scores_flat, ids_flat, k):
+    """Host-side top-k with lax.top_k's exact tie-break (lowest slot index
+    first) — host_stream scores are already in host RAM, a device round
+    trip for the reduction would cost more than the sort."""
+    masked = np.where(ids_flat >= 0, scores_flat, -1)
+    order = np.lexsort((np.arange(masked.size), -masked))[:k]
+    return masked[order].astype(np.int32), order
 
 
 def pad_query(query, config: "SearchConfig", for_batch: bool = False):
@@ -298,17 +352,31 @@ class SearchEngine:
         self.gaps = jnp.asarray(
             [self.config.open_gap, self.config.extend_gap], jnp.int32)
 
-        # per bin, on device: either [C, G, 24, POS, 128] int8 profiles
-        # (precompute mode) or [C, G, W, 8, 128] int8 residues (stream mode).
-        # G is padded to a multiple of group_block with dummy groups (DUMMY
-        # residues score 0 everywhere, ids -1 mask them out of top-k).
+        # resolve "auto" through the HBM capacity planner (the analog of
+        # the reference's 0.8*global_mem chunk cap, utils.c:162-168)
+        self.mode = self.config.profile_mode
+        if self.mode == "auto":
+            plan = plan_profile_mode(db, self.config.hbm_budget_bytes)
+            self.mode = plan.mode
+            print(f"oswald-tpu engine: {plan.describe()}")
+
+        # per bin, on device: [C, G, 24, POS, 128] int8 profiles
+        # (precompute mode) or [C, G, W, 8, 128] int8 residues (stream
+        # mode); host_stream keeps the mmap'd storage-layout bins on the
+        # host and transfers group slices per search.  G is padded to a
+        # multiple of group_block with dummy groups (DUMMY residues score 0
+        # everywhere, ids -1 mask them out of top-k).
         self.metrics = Metrics()
         gb = self.config.group_block
         self.prof_stacks = {}
         self.seq_stacks = {}
+        self.host_slices = {}
         ids_flat = []
         t_setup = time.perf_counter()
         for L in db.bin_lengths:
+            if self.mode == "host_stream":
+                ids_flat.extend(self._init_host_stream_bin(L))
+                continue
             seq_np = np.asarray(db.bins[L]["seq"])
             ids_np = np.asarray(db.bins[L]["id"])
             G = seq_np.shape[0]
@@ -323,7 +391,7 @@ class SearchEngine:
             ids_flat.append(ids_np.reshape(-1))
             seq = jnp.asarray(np.ascontiguousarray(seq_np))
             main, tail = _split_chunks(seq, L)
-            if self.config.profile_mode == "precompute":
+            if self.mode == "precompute":
                 # one jitted call per bin (a per-chunk eager loop costs one
                 # dispatch round trip per chunk — dominated engine setup)
                 main_cg = jnp.swapaxes(main, 0, 1)      # [C, G, W, 8, 128]
@@ -350,6 +418,73 @@ class SearchEngine:
         self._search_fns = {}
         self.metrics.add("engine_setup", time.perf_counter() - t_setup)
 
+    def _init_host_stream_bin(self, L: int):
+        """Cut bin L into host-side group slices for streaming transfer.
+
+        Full slices stay views of the (mmap-backed) storage array — no host
+        RAM copy; only a final partial slice is materialised to pad its
+        group count to a group_block multiple.  Returns the per-slice id
+        rows for ids_flat (slot order must match the score layout)."""
+        gb = self.config.group_block
+        seq_np = self.db.bins[L]["seq"]           # keep mmap, no asarray
+        ids_np = np.asarray(self.db.bins[L]["id"])
+        G = seq_np.shape[0]
+        per_group = L * SUBLANES * LANES
+        S = max(gb, (self.config.host_stream_slice_mb << 20)
+                // per_group // gb * gb)
+        slices, ids_out = [], []
+        for lo in range(0, G, S):
+            hi = min(lo + S, G)
+            Gs_pad = -(-(hi - lo) // gb) * gb
+            if Gs_pad != hi - lo:
+                arr = np.full((Gs_pad, L, SUBLANES, LANES), DUMMY, np.int8)
+                arr[:hi - lo] = seq_np[lo:hi]
+                ids_s = np.concatenate(
+                    [ids_np[lo:hi],
+                     np.full((Gs_pad - (hi - lo), SUBLANES, LANES), -1,
+                             np.int32)])
+            else:
+                arr = seq_np[lo:hi]
+                ids_s = ids_np[lo:hi]
+            slices.append(arr)
+            ids_out.append(ids_s.reshape(-1))
+        self.host_slices[L] = slices
+        return ids_out
+
+    def _host_stream_scores(self, q_batch) -> np.ndarray:
+        """int32[Q, n_slots] scores with the database streamed host->device
+        slice by slice, double-buffered: slice i+1's transfer is enqueued
+        before slice i's compute dispatch, and the host blocks only on
+        slice i-1's (tiny) score readback — so at most two slices plus one
+        program's scan state live in HBM at any time, regardless of
+        database size.  The reference's analog is its per-chunk
+        clEnqueueWriteBuffer round (FPGAsearch.c:180-237)."""
+        qb = jnp.asarray(q_batch)
+        Q = qb.shape[0]
+        flat = [(L, arr) for L in self.db.bin_lengths
+                for arr in self.host_slices[L]]
+        cfg = self.config
+        outs = []
+        pending = None
+        dev = jax.device_put(flat[0][1]) if flat else None
+        for i, (L, arr) in enumerate(flat):
+            nxt = jax.device_put(flat[i + 1][1]) if i + 1 < len(flat) \
+                else None
+            s = _search_bin_hostslice(qb, self.gaps, self.submat_dev, dev,
+                                      cfg.u_rows, self._interpret,
+                                      cfg.group_block, self._acc,
+                                      cfg.col_unroll)
+            if pending is not None:
+                # blocking readback of slice i-1's scores: the backpressure
+                # that bounds in-flight slices (and frees their HBM)
+                outs.append(np.asarray(pending).reshape(Q, -1))
+            pending = s
+            dev = nxt
+        if pending is not None:
+            outs.append(np.asarray(pending).reshape(Q, -1))
+        return np.concatenate(outs, axis=1) if outs else \
+            np.zeros((Q, 0), np.int32)
+
     def _pad_query(self, query):
         return pad_query(query, self.config)
 
@@ -362,7 +497,7 @@ class SearchEngine:
         u, gb, acc, cu = (self.config.u_rows, self.config.group_block,
                           self._acc, self.config.col_unroll)
         interpret = self._interpret
-        precompute = self.config.profile_mode == "precompute"
+        precompute = self.mode == "precompute"
         bin_lengths = tuple(self.db.bin_lengths)
 
         @jax.jit
@@ -389,9 +524,11 @@ class SearchEngine:
     def score_all(self, query) -> jnp.ndarray:
         """Scores for every database sequence, in sorted-id slot order."""
         q_pad = jnp.asarray(self._pad_query(query))
+        if self.mode == "host_stream":
+            return jnp.asarray(self._host_stream_scores(q_pad[None])[0])
         outs = []
         for L in self.db.bin_lengths:
-            if self.config.profile_mode == "precompute":
+            if self.mode == "precompute":
                 main, tail = self.prof_stacks[L]
                 s = _search_bin(q_pad, self.gaps, main,
                                 self.config.u_rows, self._interpret,
@@ -410,10 +547,14 @@ class SearchEngine:
     def search(self, query, query_title: str = "query") -> SearchResult:
         t0 = time.perf_counter()
         k = min(self.config.top, self.db.n_seqs)
-        if self.config.fused_dispatch:
+        if self.mode == "host_stream":
+            scores = self._host_stream_scores(
+                jnp.asarray(self._pad_query(query))[None])[0]
+            top_scores, top_slots = _host_topk(scores, self.ids_flat, k)
+        elif self.config.fused_dispatch:
             q_pad = jnp.asarray(self._pad_query(query))
             stacks = self.prof_stacks if \
-                self.config.profile_mode == "precompute" else self.seq_stacks
+                self.mode == "precompute" else self.seq_stacks
             top_scores, top_slots = self._search_fn(k)(
                 q_pad, self.gaps, self.submat_dev, stacks, self.valid)
         else:
@@ -456,8 +597,7 @@ class SearchEngine:
         reference's analog is its per-query kernel loop inside one chunk
         round (FPGAsearch.c:204-219)."""
         titles = titles or [f"query{i}" for i in range(len(queries))]
-        if not batch or len(queries) <= 1 or \
-                self.config.profile_mode != "precompute":
+        if not batch or len(queries) <= 1 or self.mode == "stream":
             return [self.search(q, t) for q, t in zip(queries, titles)]
 
         t0 = time.perf_counter()
@@ -471,19 +611,31 @@ class SearchEngine:
         k = min(self.config.top, self.db.n_seqs)
         for m_pad, idxs in by_len.items():
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
-            outs = []
-            for L in self.db.bin_lengths:
-                main, tail = self.prof_stacks[L]
-                s = _search_bin_batch(qb, self.gaps, main,
-                                      self.config.u_rows, self._interpret,
-                                      self.config.group_block, self._acc,
-                                      tail, self.config.col_unroll)
-                outs.append(s.reshape(len(idxs), -1))
-            flat = jnp.concatenate(outs, axis=1)
-            top_scores, top_slots = jax.vmap(
-                lambda sc: _topk(sc, self.valid, k))(flat)
-            top_scores = np.asarray(top_scores)
-            top_slots = np.asarray(top_slots)
+            if self.mode == "host_stream":
+                # one streaming sweep of the database scores the whole
+                # same-length batch (transfer cost amortised over queries)
+                flat_np = self._host_stream_scores(qb)
+                top_scores = np.empty((len(idxs), k), np.int32)
+                top_slots = np.empty((len(idxs), k), np.int64)
+                for row in range(len(idxs)):
+                    top_scores[row], top_slots[row] = _host_topk(
+                        flat_np[row], self.ids_flat, k)
+            else:
+                outs = []
+                for L in self.db.bin_lengths:
+                    main, tail = self.prof_stacks[L]
+                    s = _search_bin_batch(qb, self.gaps, main,
+                                          self.config.u_rows,
+                                          self._interpret,
+                                          self.config.group_block,
+                                          self._acc,
+                                          tail, self.config.col_unroll)
+                    outs.append(s.reshape(len(idxs), -1))
+                flat = jnp.concatenate(outs, axis=1)
+                top_scores, top_slots = jax.vmap(
+                    lambda sc: _topk(sc, self.valid, k))(flat)
+                top_scores = np.asarray(top_scores)
+                top_slots = np.asarray(top_slots)
             for row, i in enumerate(idxs):
                 ids = self.ids_flat[top_slots[row]]
                 results[i] = SearchResult(

@@ -1,0 +1,139 @@
+"""Larger-than-HBM data path: host_stream parity + capacity planner.
+
+The reference streams arbitrarily large databases through the device in
+bounded chunks (/root/reference/host/src/FPGAsearch.c:180-237) and caps the
+chunk size at 0.8x device global memory (utils.c:162-168).  These tests
+force the TPU analog (host-resident mmap bins streamed slice by slice,
+planner-selected) on small databases via artificial HBM budgets.
+"""
+
+import numpy as np
+import pytest
+
+from oswald_tpu.io import pack_sequences
+from oswald_tpu.io.db import save_db, load_db
+from oswald_tpu.engine import SearchEngine, SearchConfig
+from oswald_tpu.engine.planner import (
+    plan_profile_mode, db_padded_bytes, SAFETY_FRACTION,
+)
+
+from conftest import random_protein
+
+
+def _make_db(rng, n, lmax, bin_cost=None):
+    lengths = rng.integers(1, lmax, size=n)
+    seqs = [random_protein(rng, int(l)) for l in lengths]
+    db = pack_sequences(np.concatenate(seqs), lengths,
+                        [f"s{i}" for i in range(n)],
+                        **({"bin_cost": bin_cost} if bin_cost else {}))
+    return db
+
+
+def test_host_stream_matches_precompute(rng):
+    # ~0.9 MiB groups + a 1 MiB slice target: with group_block=1 each
+    # group is its own slice (multi-slice double-buffered loop); the
+    # default group_block=2 engine pads the single-group bin's slice to a
+    # group_block multiple (padded-final-slice path)
+    db = _make_db(rng, 2500, 850)
+    q = random_protein(rng, 77)
+    pre = SearchEngine(db, SearchConfig(top=20, profile_mode="precompute"))
+    hs = SearchEngine(db, SearchConfig(top=20, profile_mode="host_stream",
+                                       host_stream_slice_mb=1,
+                                       group_block=1))
+    assert any(len(v) > 1 for v in hs.host_slices.values()), \
+        "test should exercise multiple slices per bin"
+    hs_pad = SearchEngine(db, SearchConfig(top=20,
+                                           profile_mode="host_stream",
+                                           host_stream_slice_mb=1,
+                                           group_block=2))
+    assert hs_pad.n_slots > hs.n_slots       # padded groups appended
+    r_pre, r_hs, r_pad = pre.search(q), hs.search(q), hs_pad.search(q)
+    for r in (r_hs, r_pad):
+        np.testing.assert_array_equal(r_pre.scores, r.scores)
+        np.testing.assert_array_equal(r_pre.seq_ids, r.seq_ids)
+        assert r_pre.titles == r.titles
+    # full score surface too (not just the top-k)
+    s_pre = np.asarray(pre.score_all(q))[np.asarray(pre.valid)]
+    s_hs = np.asarray(hs.score_all(q))[hs.ids_flat >= 0]
+    np.testing.assert_array_equal(s_pre, s_hs)
+
+
+def test_host_stream_from_mmap_artifact(tmp_path, rng):
+    """host_stream over a memory-mapped .oswt (the real deployment shape:
+    the packed DB never fully materialises in host RAM)."""
+    db = _make_db(rng, 1200, 150)
+    save_db(db, str(tmp_path / "d"))
+    mdb = load_db(str(tmp_path / "d"))          # mmap'd arrays
+    q = random_protein(rng, 40)
+    pre = SearchEngine(db, SearchConfig(top=8))
+    hs = SearchEngine(mdb, SearchConfig(top=8, profile_mode="host_stream",
+                                        host_stream_slice_mb=1))
+    r1, r2 = pre.search(q), hs.search(q)
+    np.testing.assert_array_equal(r1.scores, r2.scores)
+    np.testing.assert_array_equal(r1.seq_ids, r2.seq_ids)
+
+
+def test_host_stream_batch(rng):
+    db = _make_db(rng, 900, 120)
+    queries = [random_protein(rng, int(l)) for l in (30, 33, 90, 5)]
+    pre = SearchEngine(db, SearchConfig(top=7))
+    hs = SearchEngine(db, SearchConfig(top=7, profile_mode="host_stream",
+                                       host_stream_slice_mb=1))
+    r_pre = pre.search_many(queries, batch=True)
+    r_hs = hs.search_many(queries, batch=True)
+    for a, b in zip(r_pre, r_hs):
+        np.testing.assert_array_equal(a.scores, b.scores)
+        np.testing.assert_array_equal(a.seq_ids, b.seq_ids)
+
+
+def test_planner_mode_selection(rng):
+    db = _make_db(rng, 1100, 100)
+    assert db_padded_bytes(db) > 0
+    # budgets composed from the plan's own residency estimates (on a tiny
+    # DB the scan-state floor dominates the residue bytes, so raw
+    # multiples of db_padded_bytes don't hit the intended thresholds)
+    est = plan_profile_mode(db, hbm_bytes=1)     # fields only
+    assert est.mode == "host_stream"
+
+    def hbm_for(resident):
+        # smallest budget whose SAFETY_FRACTION share covers `resident`
+        return int(resident / SAFETY_FRACTION) + 1024
+
+    # profiles + state fit -> precompute
+    assert plan_profile_mode(
+        db, hbm_bytes=hbm_for(est.profile_bytes + est.state_bytes)
+    ).mode == "precompute"
+    # residues + state fit but 24x profiles don't -> stream
+    assert plan_profile_mode(
+        db, hbm_bytes=hbm_for(est.db_bytes + est.state_bytes)
+    ).mode == "stream"
+    # not even the residues fit -> host_stream
+    assert plan_profile_mode(
+        db, hbm_bytes=hbm_for(est.state_bytes) // 2).mode == "host_stream"
+    # sharding over devices shrinks the per-device share enough that the
+    # same budget now admits full precompute residency
+    assert plan_profile_mode(
+        db, hbm_bytes=hbm_for(est.db_bytes + est.state_bytes),
+        n_devices=64).mode == "precompute"
+
+
+def test_auto_mode_resolves_and_searches(rng, capsys):
+    db = _make_db(rng, 600, 80)
+    padded = db_padded_bytes(db)
+    eng = SearchEngine(db, SearchConfig(
+        top=5, profile_mode="auto", hbm_budget_bytes=padded // 4,
+        host_stream_slice_mb=1))
+    assert eng.mode == "host_stream"
+    out = capsys.readouterr().out
+    assert "profile_mode=host_stream" in out     # planner announces choice
+    q = random_protein(rng, 25)
+    ref = SearchEngine(db, SearchConfig(top=5, profile_mode="precompute"))
+    np.testing.assert_array_equal(eng.search(q).scores, ref.search(q).scores)
+
+
+def test_dist_auto_raises_on_host_stream(rng):
+    from oswald_tpu.dist import DistributedSearchEngine
+    db = _make_db(rng, 600, 80)
+    with pytest.raises(NotImplementedError):
+        DistributedSearchEngine(db, SearchConfig(
+            profile_mode="auto", hbm_budget_bytes=1024))
