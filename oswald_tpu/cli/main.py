@@ -47,6 +47,11 @@ def _add_search_args(sp):
     sp.add_argument("--devices", type=int, default=None,
                     help="devices in the search mesh (default: all; "
                          "1 = single-chip engine)")
+    sp.add_argument("--distributed", action="store_true",
+                    help="multi-host run: initialize jax.distributed "
+                         "before building the mesh (Cloud TPU pods "
+                         "auto-discover the coordinator; every pod host "
+                         "runs the same command, rank 0 prints)")
     sp.add_argument("--profile-mode",
                     choices=("auto", "precompute", "stream", "host_stream"),
                     default="auto",
@@ -113,6 +118,9 @@ def cmd_preprocess(args):
 
 def cmd_search(args):
     import jax
+    if args.distributed:
+        from oswald_tpu.dist import bootstrap
+        bootstrap()
     from oswald_tpu.io.db import load_db, load_queries
     from oswald_tpu.engine import SearchEngine, SearchConfig
     from oswald_tpu.submat import get_submat
@@ -161,6 +169,10 @@ def cmd_search(args):
     Q = sum(len(q) for q in queries)
     D = db.n_residues
     gcups = _gcups(Q, D, search_s)
+
+    # multi-host SPMD: every process ran the search; one prints
+    if jax.process_index() != 0:
+        return 0
 
     if args.json:
         import json as _json

@@ -236,14 +236,11 @@ def bench(variant, m, G, L, u, gb, cu, acc=jnp.float32, iters=5):
     prof = jnp.stack([build_profile(jnp.asarray(seq[:, c]), sm)
                       for c in range(C)])
 
-    if variant == "base":
-        fn = jax.jit(lambda: _scan_bin(sw_chunk, q, gaps, prof, u, gb, acc,
-                                       cu, interpret=False))
-    else:
-        fn = jax.jit(lambda: _scan_bin(
-            sw_chunk_lab, q, gaps, prof, u, gb, acc, cu, interpret=False,
-            variant=variant))
-    sync = lambda: int(jnp.sum(fn()))
+    chunk_fn = sw_chunk if variant == "base" else sw_chunk_lab
+    kw = {} if variant == "base" else {"variant": variant}
+    fn = jax.jit(lambda qq, pp: _scan_bin(chunk_fn, qq, gaps, pp, u, gb,
+                                          acc, cu, interpret=False, **kw))
+    sync = lambda: int(jnp.sum(fn(q, prof)))
     ref = sync()
     times = []
     for _ in range(iters):
