@@ -367,6 +367,9 @@ class DistributedSearchEngine:
 
         results = [None] * len(queries)
         k = min(self.config.top, max(self.db.n_seqs, 1))
+        # dispatch every group's programs before blocking on any readback
+        # (overlaps dispatch/compile of group j+1 with group j's compute)
+        pending = []
         for m_pad, idxs in by_len.items():
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
             cand_s, cand_i = [], []
@@ -376,6 +379,9 @@ class DistributedSearchEngine:
                     qb, self.gaps, self.submat_dev, data, self.ids[L])
                 cand_s.append(s)
                 cand_i.append(i)
+            pending.append((idxs, cand_s, cand_i))
+
+        for idxs, cand_s, cand_i in pending:
             cand_s = [np.asarray(s) for s in cand_s]
             cand_i = [np.asarray(i) for i in cand_i]
             scores = np.concatenate(cand_s, axis=1) if cand_s else \

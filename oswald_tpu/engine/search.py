@@ -609,6 +609,11 @@ class SearchEngine:
 
         results = [None] * len(queries)
         k = min(self.config.top, self.db.n_seqs)
+        # two phases: dispatch EVERY padded-length group's programs before
+        # blocking on any readback, so group j+1's device work (and its
+        # host-side profile scheduling) overlaps group j's compute — the
+        # mixed-length analog of the per-bin async dispatch in search()
+        pending = []
         for m_pad, idxs in by_len.items():
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
             if self.mode == "host_stream":
@@ -634,8 +639,11 @@ class SearchEngine:
                 flat = jnp.concatenate(outs, axis=1)
                 top_scores, top_slots = jax.vmap(
                     lambda sc: _topk(sc, self.valid, k))(flat)
-                top_scores = np.asarray(top_scores)
-                top_slots = np.asarray(top_slots)
+            pending.append((idxs, top_scores, top_slots))
+
+        for idxs, top_scores, top_slots in pending:
+            top_scores = np.asarray(top_scores)     # blocks (per group)
+            top_slots = np.asarray(top_slots)
             for row, i in enumerate(idxs):
                 ids = self.ids_flat[top_slots[row]]
                 results[i] = SearchResult(
