@@ -13,6 +13,7 @@ multi-chip balancing is static residue-count sharding in oswald_tpu.dist).
 
 import dataclasses
 import functools
+import sys
 import time
 
 import numpy as np
@@ -38,10 +39,11 @@ class SearchConfig:
     group_block: int = 2        # independent groups interleaved per kernel
                                 # step (VPU latency hiding); bins are padded
                                 # with score-inert dummy groups to a multiple
-    col_unroll: int = 8         # DP columns advanced per kernel loop
+    col_unroll: int = 16        # DP columns advanced per kernel loop
                                 # iteration (scheduling-barrier unroll;
-                                # measured v5e: 1/2/4/8 -> 201/224/227/231
-                                # GCUPS); must divide 64
+                                # measured v5e, fscan kernel body:
+                                # 4/8/16/32 -> 264/279/286/285 Gc/s);
+                                # must divide 64
     # Query padding: m rounds up to a multiple of max(query_pad_quantum,
     # 2^floor(log2(m))/8).  The adaptive term caps dummy-row compute at
     # ~12.5% while keeping the number of distinct compiled query shapes
@@ -358,7 +360,8 @@ class SearchEngine:
         if self.mode == "auto":
             plan = plan_profile_mode(db, self.config.hbm_budget_bytes)
             self.mode = plan.mode
-            print(f"oswald-tpu engine: {plan.describe()}")
+            # stderr: --json runs must keep stdout machine-readable
+            print(f"oswald-tpu engine: {plan.describe()}", file=sys.stderr)
 
         # per bin, on device: [C, G, 24, POS, 128] int8 profiles
         # (precompute mode) or [C, G, W, 8, 128] int8 residues (stream

@@ -52,10 +52,10 @@ POS_PER_CHUNK = CHUNK_WIDTH * SUBLANES   # flattened (j, sublane) rows
 DEFAULT_U_ROWS = 8
 # Columns per fori iteration: the loop is a scheduling barrier while
 # consecutive columns have only a one-row-skew dependency, so unrolling
-# lets Mosaic overlap their chains.  Measured v5e (U=8 GB=2 fp32):
-# 1 -> 201, 2 -> 224, 4 -> 227, 8 -> 231 GCUPS.  Owned by
-# SearchConfig.col_unroll; this is only the default.
-DEFAULT_COL_UNROLL = 8
+# lets Mosaic overlap their chains.  Measured v5e (U=8 GB=2 fp32, fscan
+# body, G=64): CU 4 -> 264, 8 -> 279, 16 -> 286, 32 -> 285 Gc/s.  Owned
+# by SearchConfig.col_unroll; this is only the default.
+DEFAULT_COL_UNROLL = 16
 # perf-ablation hook (bounds the profile-load cost by replacing loads with
 # a constant); patch the module attribute from an experiment script — no
 # env knobs in the kernel path
@@ -115,34 +115,53 @@ def _kernel(u_rows, gb, acc_dtype, col_unroll, q_ref, gaps_ref, prof_ref,
     carry0 = (tuple(colhd_ref[g, 0] for g in range(gb)),
               tuple(zero for _ in range(gb)), e0, hl0)
 
+    # Column body, restructured for instruction-level parallelism ("fscan"
+    # variant; measured v5e G=64: 286 vs 236 Gc/s for the naive serial
+    # interleaving, +21%).  The naive form chains ~4 vector ops per row
+    # (cur -> cand -> f -> next row's cur); but since extend <= open+extend,
+    #   max(f - eg, max(cur', f) - oeg)  ==  max(f - eg, cur' - oeg)
+    # where cur' = max(diag + s, 0, e) is the F-INDEPENDENT part of the
+    # cell.  So the column decomposes into
+    #   (1) cur'[u] for all U rows            — fully parallel
+    #   (2) f[u+1] = max(f[u]-eg, cur'[u]-oeg) — 2-op/row serial scan
+    #   (3) cur = max(cur', f); E/smax/H       — fully parallel
+    # cutting the critical path per column to ~2 ops/row.  (A Kogge-Stone
+    # log-depth variant of (2) measured slower — more total ops than the
+    # latency it saves at U=8; see scripts/kernel_lab.py.)
     def one_col(j, carry):
         hprev, smax, e, hl = carry
         p = j * SUBLANES
         hrow_j = [hrow_ref[g, pl.ds(p, SUBLANES), :] for g in range(gb)]
-        f = [fcol_ref[g, pl.ds(p, SUBLANES), :] for g in range(gb)]
-        diag = list(hprev)                           # H[i0-1, j-1]
+        f_in = [fcol_ref[g, pl.ds(p, SUBLANES), :] for g in range(gb)]
         smax = list(smax)
         e = [list(eu) for eu in e]
         hl = [list(hu) for hu in hl]
-        for u in range(U):
-            for g in range(gb):
-                if _ABLATE_S:        # perf ablation only: bound load cost
-                    s = jnp.full((SUBLANES, LANES), 2, acc_dtype)
-                else:
-                    s = prof_ref[g, a[u], pl.ds(p, SUBLANES), :] \
-                        .astype(acc_dtype)
-                cur = jnp.maximum(jnp.maximum(diag[g] + s, 0),
-                                  jnp.maximum(e[g][u], f[g]))
-                cand = cur - oeg
-                f[g] = jnp.maximum(f[g] - eg, cand)      # F[i0+u+1, j]
-                e[g][u] = jnp.maximum(e[g][u] - eg, cand)  # E[i0+u, j+1]
-                smax[g] = jnp.maximum(smax[g], cur)
-                diag[g] = hl[g][u]                       # H[i0+u, j-1]
-                hl[g][u] = cur                           # H[i0+u, j]
+        hprev = list(hprev)
         for g in range(gb):
-            hrow_ref[g, pl.ds(p, SUBLANES), :] = hl[g][U - 1]
-            fcol_ref[g, pl.ds(p, SUBLANES), :] = f[g]
-        return (tuple(hrow_j), tuple(smax),
+            # diag[u] = H[i0+u-1, j-1]: hprev for u=0, prev column's hl
+            diag = [hprev[g]] + hl[g][:U - 1]
+            if _ABLATE_S:            # perf ablation only: bound load cost
+                s = [jnp.full((SUBLANES, LANES), 2, acc_dtype)
+                     for _ in range(U)]
+            else:
+                s = [prof_ref[g, a[u], pl.ds(p, SUBLANES), :]
+                     .astype(acc_dtype) for u in range(U)]
+            curp = [jnp.maximum(jnp.maximum(diag[u] + s[u], 0), e[g][u])
+                    for u in range(U)]
+            c = [curp[u] - oeg for u in range(U)]
+            f = [f_in[g]]
+            for u in range(1, U):
+                f.append(jnp.maximum(f[u - 1] - eg, c[u - 1]))
+            cur = [jnp.maximum(curp[u], f[u]) for u in range(U)]
+            for u in range(U):
+                e[g][u] = jnp.maximum(e[g][u] - eg, cur[u] - oeg)
+                smax[g] = jnp.maximum(smax[g], cur[u])
+            hprev[g] = hrow_j[g]
+            hl[g] = cur
+            hrow_ref[g, pl.ds(p, SUBLANES), :] = cur[U - 1]
+            fcol_ref[g, pl.ds(p, SUBLANES), :] = \
+                jnp.maximum(f[U - 1] - eg, c[U - 1])    # F[i0+U, j]
+        return (tuple(hprev), tuple(smax),
                 tuple(tuple(eu) for eu in e),
                 tuple(tuple(hu) for hu in hl))
 
