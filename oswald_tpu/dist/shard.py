@@ -26,6 +26,7 @@ assembles the global sharded array.  Tests exercise the logic on a virtual
 8-device CPU mesh.
 """
 
+import sys
 import time
 
 import numpy as np
@@ -165,7 +166,7 @@ class DistributedSearchEngine:
             self.mode = plan.mode
             if jax.process_index() == 0:
                 print(f"oswald-tpu dist engine [{self.ndev} devices]: "
-                      f"{plan.describe()}")
+                      f"{plan.describe()}", file=sys.stderr)
         if self.mode == "host_stream":
             raise NotImplementedError(
                 "host_stream is single-chip only for now: the database "

@@ -17,11 +17,15 @@ _NL = ord("\n")
 _GT = ord(">")
 
 
-def parse_fasta_bytes(data: bytes):
+def parse_fasta_bytes(data: bytes, titles: str | None = "list"):
     """Parse FASTA content. Returns (titles, seqs, lengths).
 
-    titles:  list[str]          header lines without '>' (full line, like the
-                                reference's .desc titles)
+    titles:  with titles="list" (default), list[str] header lines without
+             '>' (full line, like the reference's .desc titles); with
+             titles="bytes", a (joined: bytes, lens: int64 ndarray) pair —
+             every title's raw bytes followed by one b"\\n", built without
+             any per-record Python loop (the bulk-preprocess path); with
+             titles=None, None (skips title work entirely)
     seqs:    int8 ndarray       all residues encoded 0..23, concatenated
     lengths: int64 ndarray      per-record residue counts (offsets = cumsum)
 
@@ -30,7 +34,9 @@ def parse_fasta_bytes(data: bytes):
     """
     buf = np.frombuffer(data, dtype=np.uint8)
     if buf.size == 0:
-        return [], np.zeros(0, np.int8), np.zeros(0, np.int64)
+        empty = {"list": [], "bytes": (b"", np.zeros(0, np.int64)),
+                 None: None}[titles]
+        return empty, np.zeros(0, np.int8), np.zeros(0, np.int64)
     if buf[-1] != _NL:
         buf = np.concatenate([buf, np.array([_NL], np.uint8)])
 
@@ -48,12 +54,27 @@ def parse_fasta_bytes(data: bytes):
     if rec_of_line[0] < 0:
         raise ValueError("FASTA content before first '>' header")
 
-    titles = []
     hdr_idx = np.flatnonzero(is_header)
-    for h in hdr_idx:
-        s, e = line_starts[h] + 1, line_ends[h]
-        t = bytes(buf[s:e])
-        titles.append(t.rstrip(b"\r").decode("utf-8", errors="replace"))
+    hs = line_starts[hdr_idx] + 1
+    he = line_ends[hdr_idx]
+    while True:                                   # strip ALL trailing \r
+        m = (he > hs) & (buf[np.maximum(he - 1, 0)] == 13)
+        if not m.any():
+            break
+        he = he - m
+    if titles == "list":
+        out_titles = [bytes(buf[s:e]).decode("utf-8", errors="replace")
+                      for s, e in zip(hs, he)]
+    elif titles == "bytes":
+        tlens = he - hs
+        joined = np.full(int(tlens.sum()) + n_rec, _NL, np.uint8)
+        dst = np.repeat(np.cumsum(tlens + 1) - (tlens + 1), tlens) \
+            + _ragged_arange(tlens)
+        src = np.repeat(hs, tlens) + _ragged_arange(tlens)
+        joined[dst] = buf[src]
+        out_titles = (joined.tobytes(), tlens)
+    else:
+        out_titles = None
 
     # residue bytes: all bytes of non-header lines, minus whitespace
     seq_line = ~is_header
@@ -75,7 +96,7 @@ def parse_fasta_bytes(data: bytes):
     else:
         seqs = np.zeros(0, np.int8)
         lengths = np.zeros(n_rec, np.int64)
-    return titles, seqs, lengths
+    return out_titles, seqs, lengths
 
 
 def _ragged_arange(lens):

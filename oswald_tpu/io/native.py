@@ -24,7 +24,7 @@ _LIB_PATHS = [
 # must match oswald_io_version() in native/oswald_io.cpp; a stale build from
 # an older checkout is rejected (falls back to numpy) instead of silently
 # diverging
-_EXPECTED_VERSION = 2
+_EXPECTED_VERSION = 4
 
 _lib = None
 _build_attempted = False
@@ -75,6 +75,23 @@ def _load():
             lib.oswald_pack_groups.restype = None
             lib.oswald_pack_groups.argtypes = [
                 c_i8p, c_i64p, c_i64p, ctypes.c_int64, c_i64p, c_i8p, c_i64p]
+            lib.oswald_fasta_count_mt.restype = ctypes.c_int64
+            lib.oswald_fasta_count_mt.argtypes = \
+                lib.oswald_fasta_count.argtypes
+            lib.oswald_fasta_encode_mt.restype = ctypes.c_int64
+            lib.oswald_fasta_encode_mt.argtypes = \
+                lib.oswald_fasta_encode.argtypes
+            lib.oswald_pack_groups_sl.restype = None
+            lib.oswald_pack_groups_sl.argtypes = [
+                c_i8p, c_i64p, c_i64p, c_i64p, ctypes.c_int64, c_i64p,
+                c_i8p, c_i64p]
+            lib.oswald_fasta_encode_titles_mt.restype = ctypes.c_int64
+            lib.oswald_fasta_encode_titles_mt.argtypes = [
+                c_u8p, ctypes.c_int64, c_i8p, c_i64p, c_i64p, c_i64p,
+                c_u8p, c_i64p]
+            lib.oswald_gather_spans.restype = None
+            lib.oswald_gather_spans.argtypes = [
+                c_u8p, c_i64p, c_i64p, c_i64p, ctypes.c_int64, c_u8p]
             lib.oswald_io_version.restype = ctypes.c_int
             _lib = lib
             return _lib
@@ -89,11 +106,13 @@ def _ptr(a, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 
 
-def parse_fasta_bytes(data: bytes):
+def parse_fasta_bytes(data: bytes, titles: str | None = "list"):
     """Native single-pass FASTA parse; same contract as
     oswald_tpu.io.fasta.parse_fasta_bytes (including its ValueErrors for
     non-FASTA input — the C scanner itself skips malformed content, so the
-    validation lives here)."""
+    validation lives here).  titles: "list" (list[str]), "bytes"
+    ((joined_bytes, lens) with one b"\\n" after each title, no Python
+    per-record loop), or None (skip title work)."""
     lib = _load()
     assert lib is not None, "native IO library not built (make -C native)"
     if data:
@@ -109,19 +128,35 @@ def parse_fasta_bytes(data: bytes):
     buf = np.frombuffer(data, dtype=np.uint8)
     n = np.int64(buf.size)
     ub = ctypes.c_int64(0)
-    nrec = lib.oswald_fasta_count(_ptr(buf, ctypes.c_uint8), n,
-                                  ctypes.byref(ub))
+    nrec = lib.oswald_fasta_count_mt(_ptr(buf, ctypes.c_uint8), n,
+                                     ctypes.byref(ub))
     seq = np.empty(max(ub.value, 1), np.int8)
     lengths = np.zeros(max(nrec, 1), np.int64)
     hs = np.zeros(max(nrec, 1), np.int64)
     he = np.zeros(max(nrec, 1), np.int64)
-    wrote = lib.oswald_fasta_encode(
-        _ptr(buf, ctypes.c_uint8), n, _ptr(seq, ctypes.c_int8),
-        _ptr(lengths, ctypes.c_int64), _ptr(hs, ctypes.c_int64),
-        _ptr(he, ctypes.c_int64))
-    titles = [data[hs[i]:he[i]].decode("utf-8", errors="replace")
-              for i in range(nrec)]
-    return titles, seq[:wrote], lengths[:nrec]
+    if titles == "bytes":
+        # one C walk emits residues AND the spill-ready "title\n" stream
+        touts = np.empty(max(int(n), 1), np.uint8)
+        tw = ctypes.c_int64(0)
+        wrote = lib.oswald_fasta_encode_titles_mt(
+            _ptr(buf, ctypes.c_uint8), n, _ptr(seq, ctypes.c_int8),
+            _ptr(lengths, ctypes.c_int64), _ptr(hs, ctypes.c_int64),
+            _ptr(he, ctypes.c_int64), _ptr(touts, ctypes.c_uint8),
+            ctypes.byref(tw))
+        out_titles = (touts[:tw.value].tobytes(), he[:nrec] - hs[:nrec])
+    else:
+        wrote = lib.oswald_fasta_encode_mt(
+            _ptr(buf, ctypes.c_uint8), n, _ptr(seq, ctypes.c_int8),
+            _ptr(lengths, ctypes.c_int64), _ptr(hs, ctypes.c_int64),
+            _ptr(he, ctypes.c_int64))
+        if titles == "list":
+            hs, he = hs[:nrec], he[:nrec]
+            out_titles = [data[hs[i]:he[i]].decode("utf-8",
+                                                   errors="replace")
+                          for i in range(nrec)]
+        else:
+            out_titles = None
+    return out_titles, seq[:wrote], lengths[:nrec]
 
 
 def pack_groups(seqs_flat, offsets, group_starts, padded_lengths):
@@ -149,3 +184,50 @@ def pack_groups(seqs_flat, offsets, group_starts, padded_lengths):
         _ptr(out_offsets, ctypes.c_int64))
     return [outs[out_offsets[g]:out_offsets[g + 1]].reshape(int(Ls[g]), 1024)
             for g in range(G)]
+
+
+def pack_groups_sl(seqs_flat, starts, lens, group_starts, padded_lengths,
+                   out=None):
+    """Like pack_groups but with per-sequence (start, len) extents, so the
+    source can be a file-order staging array addressed through a sorted
+    permutation (the out-of-core preprocess path; no permuted rewrite of
+    the residue data is needed).
+
+    out: optional preallocated int8[sum(L_g) * 1024] destination (e.g. a
+    memmap slice) — written in group order.  Returns out (flat).
+    """
+    lib = _load()
+    assert lib is not None, "native IO library not built (make -C native)"
+    seqs_flat = np.ascontiguousarray(seqs_flat, np.int8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    group_starts = np.ascontiguousarray(group_starts, np.int64)
+    Ls = np.ascontiguousarray(padded_lengths, np.int64)
+    G = len(Ls)
+    out_offsets = np.concatenate([[0], np.cumsum(Ls * 1024)]).astype(np.int64)
+    if out is None:
+        out = np.empty(int(out_offsets[-1]), np.int8)
+    assert out.dtype == np.int8 and out.size == int(out_offsets[-1])
+    lib.oswald_pack_groups_sl(
+        _ptr(seqs_flat, ctypes.c_int8), _ptr(starts, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int64), _ptr(group_starts, ctypes.c_int64),
+        np.int64(G), _ptr(Ls, ctypes.c_int64), _ptr(out, ctypes.c_int8),
+        _ptr(out_offsets, ctypes.c_int64))
+    return out
+
+
+def gather_spans(src_buf, starts, lens, dst_off, out):
+    """out[dst_off[k] : +lens[k]] = src_buf[starts[k] : +lens[k]] for all k
+    (OpenMP memcpy per span); separators are whatever `out` holds."""
+    lib = _load()
+    assert lib is not None, "native IO library not built (make -C native)"
+    src_buf = np.ascontiguousarray(src_buf, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    dst_off = np.ascontiguousarray(dst_off, np.int64)
+    assert out.dtype == np.uint8 and out.flags["C_CONTIGUOUS"]
+    lib.oswald_gather_spans(
+        _ptr(src_buf, ctypes.c_uint8), _ptr(starts, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int64), _ptr(dst_off, ctypes.c_int64),
+        np.int64(len(starts)), _ptr(out, ctypes.c_uint8))
+    return out

@@ -56,12 +56,12 @@ def _iter_blocks(path: str, block_bytes: int):
             carry = buf[cut + 1:]
 
 
-def _parse_block(data: bytes):
+def _parse_block(data: bytes, titles: str | None = "list"):
     from oswald_tpu.io import native
     if native.available() and not os.environ.get("OSWALD_NO_NATIVE"):
-        return native.parse_fasta_bytes(data)
+        return native.parse_fasta_bytes(data, titles=titles)
     from oswald_tpu.io.fasta import parse_fasta_bytes
-    return parse_fasta_bytes(data)
+    return parse_fasta_bytes(data, titles=titles)
 
 
 def preprocess_db_streaming(fasta_path: str, out_path: str,
@@ -72,47 +72,82 @@ def preprocess_db_streaming(fasta_path: str, out_path: str,
     loaded (memory-mapped) PackedDB."""
     import time
     t0 = time.perf_counter()
+    phase_t = {}
+
+    def _mark(name, t_start):
+        phase_t[name] = phase_t.get(name, 0.0) + time.perf_counter() \
+            - t_start
+        return time.perf_counter()
+
     d = out_path + ".oswt"
     os.makedirs(d, exist_ok=True)
 
-    # ---- pass 1: lengths + titles (record order, spilled to a temp file;
-    # rewritten in sorted order after the sort) ----
+    # ---- pass 1 (the ONLY read of the FASTA): parse blocks -> lengths,
+    # title bytes (spilled to a temp file), encoded residues (spilled to a
+    # file-order staging file).  No per-record Python loop anywhere. ----
     lengths = []
     tmp_titles = os.path.join(d, "titles.tmp")
-    toffs = [0]
-    with open(tmp_titles, "wb") as tf:
-        pos = 0
+    tmp_resid = os.path.join(d, "residues.tmp")
+    tlen_parts = []
+    t = time.perf_counter()
+    with open(tmp_titles, "wb") as tf, open(tmp_resid, "wb") as rf:
         for block in _iter_blocks(fasta_path, block_bytes):
-            titles, _, ls = _parse_block(block)
+            t = _mark("read1", t)
+            (tjoined, tlens), flat, ls = _parse_block(block, titles="bytes")
             lengths.append(np.asarray(ls, np.int64))
-            for t in titles:
-                b = t.encode("utf-8")
-                tf.write(b)
-                pos += len(b)
-                toffs.append(pos)
+            tlen_parts.append(tlens)
+            tf.write(tjoined)                 # each title + b"\n"
+            rf.write(memoryview(np.ascontiguousarray(flat)))
+            t = _mark("parse1", t)
     lengths = np.concatenate(lengths) if lengths else np.zeros(0, np.int64)
     n = len(lengths)
-    toffs = np.asarray(toffs, np.int64)
+    tlens = np.concatenate(tlen_parts) if tlen_parts else \
+        np.zeros(0, np.int64)
+    # extents into the tmp file ("title\n" stride)
+    tends = np.cumsum(tlens + 1) - 1
+    tstarts = tends - tlens
 
     # ---- sort + geometry plan ----
+    t = time.perf_counter()
     order = np.argsort(lengths, kind="stable")       # ascending by length
-    rank = np.empty(n, np.int64)                     # record -> sorted pos
-    rank[order] = np.arange(n)
     sorted_lengths = lengths[order]
 
+    # sorted titles.txt ("\n"-joined, no trailing separator — save_db's
+    # format) + end-offset index, gathered chunk-wise (bounded memory;
+    # native OpenMP span-copy, numpy scatter fallback — the original
+    # per-title Python loop dominated pass 1)
+    from oswald_tpu.io import native
+    use_native = native.available() and \
+        not os.environ.get("OSWALD_NO_NATIVE")
+    sorted_offs = np.zeros(n + 1, np.int64)
     with open(tmp_titles, "rb") as tf:
-        tbuf = np.memmap(tf, dtype=np.uint8, mode="r") if toffs[-1] else \
+        tbuf = np.memmap(tf, dtype=np.uint8, mode="r") if n else \
             np.zeros(0, np.uint8)
-        sorted_offs = [0]
         with open(os.path.join(d, "titles.txt"), "wb") as out:
-            for i, src in enumerate(order):
-                if i:
-                    out.write(b"\n")
-                out.write(tbuf[toffs[src]:toffs[src + 1]].tobytes())
-                sorted_offs.append(out.tell())
+            pos_out = 0
+            CH = 1 << 20                      # titles per chunk
+            for c0 in range(0, n, CH):
+                src = order[c0:c0 + CH]
+                lt = tlens[src]
+                sep = np.ones(len(src), np.int64)
+                if c0 == 0:
+                    sep[0] = 0                # no separator before title 0
+                widths = lt + sep
+                dst0 = np.cumsum(widths) - widths + sep
+                buf_out = np.full(int(widths.sum()), ord("\n"), np.uint8)
+                if use_native:
+                    native.gather_spans(tbuf, tstarts[src], lt, dst0,
+                                        buf_out)
+                else:
+                    dst = np.repeat(dst0, lt) + _ragged_arange(lt)
+                    gsrc = np.repeat(tstarts[src], lt) + _ragged_arange(lt)
+                    buf_out[dst] = tbuf[gsrc]
+                out.write(buf_out.tobytes())
+                sorted_offs[c0 + 1:c0 + len(src) + 1] = pos_out + dst0 + lt
+                pos_out += int(widths.sum())
     os.remove(tmp_titles)
-    np.save(os.path.join(d, "titles_idx.npy"),
-            np.asarray(sorted_offs, np.int64))
+    np.save(os.path.join(d, "titles_idx.npy"), sorted_offs)
+    t = _mark("sort_titles", t)
 
     n_groups = -(-n // GROUP_LANES) if n else 0
     group_Ls = []
@@ -126,14 +161,14 @@ def preprocess_db_streaming(fasta_path: str, out_path: str,
     bins = {}
     for g, L in enumerate(group_Ls):
         bins.setdefault(L, []).append(g)
-    # memmap per bin seq array + id/len arrays in RAM (small)
+    # memmap per bin seq array + id/len arrays in RAM (small); no DUMMY
+    # prefill — the pack phase memsets every group block itself
     mm = {}
     for L, gs in bins.items():
         Gb = len(gs)
         mm[L] = np.lib.format.open_memmap(
             os.path.join(d, f"bin{L}_seq.npy"), mode="w+", dtype=np.int8,
             shape=(Gb, L, SUBLANES, LANES))
-        mm[L][:] = DUMMY
         lens = np.zeros((Gb, GROUP_LANES), np.int32)
         ids = np.full((Gb, GROUP_LANES), -1, np.int32)
         for bg, g in enumerate(gs):
@@ -145,38 +180,54 @@ def preprocess_db_streaming(fasta_path: str, out_path: str,
                 lens.reshape(Gb, SUBLANES, LANES))
         np.save(os.path.join(d, f"bin{L}_id.npy"),
                 ids.reshape(Gb, SUBLANES, LANES))
-    # group -> (bin L, index within bin), as arrays for vectorized lookup
-    group_L_arr = np.zeros(max(n_groups, 1), np.int64)
-    group_bg_arr = np.zeros(max(n_groups, 1), np.int64)
-    for L, gs in bins.items():
-        for bg, g in enumerate(gs):
-            group_L_arr[g] = L
-            group_bg_arr[g] = bg
+    t = _mark("alloc_bins", t)
 
-    # ---- pass 2: encode + scatter (vectorized per block) ----
-    rec = 0
-    for block in _iter_blocks(fasta_path, block_bytes):
-        _, flat, ls = _parse_block(block)
-        nb = len(ls)
-        # per-record destination coordinates
-        kk = rank[rec:rec + nb]
-        g, slot = kk // GROUP_LANES, kk % GROUP_LANES
-        Lr = group_L_arr[g]
-        bg = group_bg_arr[g]
-        sub, lane = slot // LANES, slot % LANES
-        # per-residue flat index into the destination bin's memmap
-        ridx = np.repeat(np.arange(nb), ls)
-        p = _ragged_arange(ls)
-        flat_idx = (((bg[ridx] * Lr[ridx] + p) * SUBLANES + sub[ridx])
-                    * LANES + lane[ridx])
-        Lres = Lr[ridx]
-        for L in np.unique(Lr):
-            m = Lres == L
-            mm[int(L)].reshape(-1)[flat_idx[m]] = flat[m]
-        rec += nb
-    assert rec == n, (rec, n)
+    # ---- pack: gather each group's records straight out of the
+    # FILE-ORDER staging area through the sorted permutation (per-record
+    # contiguous reads -- no permuted rewrite of the residue data), packed
+    # into the [L, 8, 128] lane tiles by the OpenMP native packer (numpy
+    # fallback below), chunked to bound RAM ----
+    starts_file = np.concatenate([[0], np.cumsum(lengths)])
+    staging = np.memmap(tmp_resid, dtype=np.int8, mode="r") \
+        if starts_file[-1] else np.zeros(0, np.int8)
+    from oswald_tpu.io import native
+    use_native = native.available() and \
+        not os.environ.get("OSWALD_NO_NATIVE")
+    for L, gs in bins.items():
+        Gb = len(gs)
+        g0 = gs[0]
+        # ascending lengths => nondecreasing group Ls => each bin's groups
+        # are one consecutive run
+        assert gs == list(range(g0, g0 + Gb)), (L, gs[:3], gs[-3:])
+        CHG = max(1, (256 << 20) // (L * GROUP_LANES))
+        for b0 in range(0, Gb, CHG):
+            ng = min(CHG, Gb - b0)
+            lo_seq = (g0 + b0) * GROUP_LANES
+            hi_seq = min((g0 + b0 + ng) * GROUP_LANES, n)
+            cnt = hi_seq - lo_seq
+            ksel = order[lo_seq:hi_seq]
+            starts = starts_file[ksel]
+            lens_sel = lengths[ksel]          # == sorted_lengths slice
+            gstarts = np.minimum(np.arange(ng + 1) * GROUP_LANES, cnt)
+            if use_native:
+                native.pack_groups_sl(
+                    staging, starts, lens_sel, gstarts, [L] * ng,
+                    out=mm[L][b0:b0 + ng].reshape(-1))
+            else:
+                buf = np.full((ng, L, GROUP_LANES), DUMMY, np.int8)
+                lcl = np.minimum(lens_sel, L)
+                p = _ragged_arange(lcl)
+                src = np.repeat(starts, lcl) + p
+                kloc = np.arange(cnt)
+                lane_i = (kloc % GROUP_LANES).repeat(lcl)
+                grp_i = (kloc // GROUP_LANES).repeat(lcl)
+                dest = (grp_i * L + p) * GROUP_LANES + lane_i
+                buf.reshape(-1)[dest] = staging[src]
+                mm[L][b0:b0 + ng] = buf.reshape(ng, L, SUBLANES, LANES)
     for m in mm.values():
         m.flush()
+    os.remove(tmp_resid)
+    t = _mark("pack", t)
 
     np.save(os.path.join(d, "lengths.npy"), sorted_lengths)
     meta = {"version": FORMAT_VERSION, "n_seqs": n,
@@ -187,7 +238,9 @@ def preprocess_db_streaming(fasta_path: str, out_path: str,
 
     if verbose:
         dt = time.perf_counter() - t0
+        phases = " ".join(f"{k}={v:.1f}s" for k, v in phase_t.items())
         print(f"oswald-tpu preprocess (streaming): {n} sequences "
               f"({meta['n_residues']} residues) -> {d} "
-              f"[bins: {', '.join(map(str, sorted(bins)))}] in {dt:.2f}s")
+              f"[bins: {', '.join(map(str, sorted(bins)))}] in {dt:.2f}s "
+              f"({phases})")
     return load_db(out_path)

@@ -124,8 +124,8 @@ def test_auto_mode_resolves_and_searches(rng, capsys):
         top=5, profile_mode="auto", hbm_budget_bytes=padded // 4,
         host_stream_slice_mb=1))
     assert eng.mode == "host_stream"
-    out = capsys.readouterr().out
-    assert "profile_mode=host_stream" in out     # planner announces choice
+    err = capsys.readouterr().err                # stderr keeps --json clean
+    assert "profile_mode=host_stream" in err     # planner announces choice
     q = random_protein(rng, 25)
     ref = SearchEngine(db, SearchConfig(top=5, profile_mode="precompute"))
     np.testing.assert_array_equal(eng.search(q).scores, ref.search(q).scores)

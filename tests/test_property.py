@@ -25,7 +25,7 @@ def test_diag_oracle_matches_numpy(a, b, matrix, og, eg):
     assert got == want
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=15, deadline=None)
 @given(data=st.data())
 def test_engine_matches_numpy_random_db(data):
     rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))

@@ -47,3 +47,24 @@ def test_streaming_single_block(tmp_path, rng):
     _write_fasta(p, rng, 40, 60)
     db = preprocess_db_streaming(p, str(tmp_path / "s1"), verbose=False)
     assert db.n_seqs == 40
+
+
+def test_streaming_numpy_fallback_matches_native(tmp_path, rng):
+    """The pure-numpy pack/parse fallback builds a bit-identical artifact."""
+    import os
+    p = str(tmp_path / "db.fasta")
+    _write_fasta(p, rng, 1700, 200)
+    db_nat = preprocess_db_streaming(p, str(tmp_path / "nat"),
+                                     block_bytes=65536, verbose=False)
+    os.environ["OSWALD_NO_NATIVE"] = "1"
+    try:
+        db_py = preprocess_db_streaming(p, str(tmp_path / "py"),
+                                        block_bytes=65536, verbose=False)
+    finally:
+        del os.environ["OSWALD_NO_NATIVE"]
+    assert db_nat.titles == db_py.titles
+    assert db_nat.bin_lengths == db_py.bin_lengths
+    for L in db_py.bin_lengths:
+        for k in ("seq", "len", "id"):
+            np.testing.assert_array_equal(
+                np.asarray(db_nat.bins[L][k]), np.asarray(db_py.bins[L][k]))
