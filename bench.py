@@ -165,6 +165,20 @@ def run_suite(db, eng, rng, on_tpu, file):
                       "gcups": round(Q * db.n_residues / dt / 1e9, 2),
                       "search_s": round(dt, 4)}), file=file)
 
+    # larger-than-HBM data path: force the planner's last-resort mode (as
+    # if the packed DB exceeded device memory) and measure the streamed
+    # throughput — the reference's bounded-chunk streaming analog
+    # (FPGAsearch.c:180-237)
+    hs = SearchEngine(db, SearchConfig(profile_mode="host_stream"))
+    q = rng.integers(0, 23, size=512).astype(np.int8)
+    hs.search(q)                           # compile
+    t0 = time.perf_counter()
+    hs.search(q)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"config": "host_stream", "qlen": 512,
+                      "gcups": round(512 * db.n_residues / dt / 1e9, 2),
+                      "search_s": round(dt, 4)}), file=file)
+
     # matrices: engine setup (profile gather) + one search per matrix
     for m in (("pam30", "blosum90") if on_tpu else ("pam30",)):
         t0 = time.perf_counter()

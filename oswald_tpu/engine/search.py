@@ -149,7 +149,7 @@ class SearchResult:
 
 def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
                      group_block=1, acc_dtype=jnp.int32, prof_tail=None,
-                     col_unroll=8):
+                     col_unroll=16):
     """Scan all column chunks of one bin; returns [G, 8, 128] int32 scores.
 
     prof_stack: int8[C, G, 24, POS, 128] precomputed score profiles for the
@@ -190,7 +190,7 @@ def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
 
 def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
                             interpret, group_block=1, acc_dtype=jnp.int32,
-                            seq_tail=None, col_unroll=8):
+                            seq_tail=None, col_unroll=16):
     """Like `_search_bin_impl` but builds each chunk's score profile on the
     fly from the packed residues (seq_chunks: int8[C, G, W, 8, 128],
     seq_tail: optional int8[G, W/2, 8, 128]).
@@ -230,7 +230,7 @@ def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
 
 def _search_bin_batch_impl(q_batch, gaps, prof_stack, u_rows, interpret,
                            group_block=1, acc_dtype=jnp.int32,
-                           prof_tail=None, col_unroll=8):
+                           prof_tail=None, col_unroll=16):
     """Scores for a batch of same-padded-length queries against one bin.
 
     q_batch: int32[Q, m_pad].  Returns int32[Q, G, 8, 128].  Queries run
@@ -249,7 +249,7 @@ def _search_bin_batch_impl(q_batch, gaps, prof_stack, u_rows, interpret,
 
 def _search_bin_hostslice_impl(q_batch, gaps, submat, seq_slice, u_rows,
                                interpret, group_block=1,
-                               acc_dtype=jnp.int32, col_unroll=8):
+                               acc_dtype=jnp.int32, col_unroll=16):
     """Scores for a query batch against one host-streamed group slice.
 
     seq_slice: int8[Gs, L, 8, 128] packed residues as stored on disk — the
@@ -272,12 +272,82 @@ def _search_bin_hostslice_impl(q_batch, gaps, submat, seq_slice, u_rows,
     return scores
 
 
+def _search_bin_flat_impl(q_pad, gaps, prof_flat, tail_flat, off, C, G,
+                          toff, u_rows, interpret, group_block=1,
+                          acc_dtype=jnp.int32, col_unroll=16):
+    """Like `_search_bin_impl` but reads this bin's chunk profiles out of
+    the ENGINE-WIDE flat profile array.
+
+    prof_flat: int8[Ctot, 24, POS, 128] — profiles of every 128-wide chunk
+    of every bin, bin (c, g) entries at `off + c*G + g`; tail_flat:
+    int8[Ttot, 24, POS/2, 128] with this bin's tail block (if toff is not
+    None) at [toff, toff+G).  One flat array + static offsets means engine
+    setup runs ONE compiled profile gather for the whole database instead
+    of one per bin shape — per-bin-shape programs made setup compile-bound
+    (~35 s for a 19-bin database through the remote compile service; the
+    same engine with warm caches set up in ~1 s)."""
+    m_pad = q_pad.shape[0]
+    A, POS = prof_flat.shape[1], prof_flat.shape[2]
+    colH = jnp.zeros((G, m_pad, SUBLANES, LANES), acc_dtype)
+    colE = jnp.zeros_like(colH)
+    scores = jnp.zeros((G, SUBLANES, LANES), acc_dtype)
+
+    def one_chunk(carry, prof_c):
+        colH, colE, scores = carry
+        colHd = jnp.concatenate(
+            [jnp.zeros((G, 1, SUBLANES, LANES), acc_dtype),
+             colH[:, u_rows - 1::u_rows][:, :-1]], axis=1)
+        scores, colH, colE = sw_chunk(q_pad, gaps, prof_c, colH, colHd,
+                                      colE, scores, u_rows=u_rows,
+                                      group_block=group_block,
+                                      acc_dtype=acc_dtype,
+                                      interpret=interpret,
+                                      col_unroll=col_unroll)
+        return (colH, colE, scores)
+
+    def body(c, carry):
+        prof_c = jax.lax.dynamic_slice(
+            prof_flat, (off + c * G, 0, 0, 0), (G, A, POS, LANES))
+        return one_chunk(carry, prof_c)
+
+    carry = (colH, colE, scores)
+    if C:       # static; a tail-only bin traces no fori body (prof_flat
+                # may be empty when the whole database is tail bins)
+        carry = jax.lax.fori_loop(0, C, body, carry)
+    if toff is not None:
+        tail_c = jax.lax.dynamic_slice(
+            tail_flat, (toff, 0, 0, 0), (G,) + tuple(tail_flat.shape[1:]))
+        carry = one_chunk(carry, tail_c)
+    return carry[2].astype(jnp.int32)
+
+
+def _search_bin_flat_batch_impl(q_batch, gaps, prof_flat, tail_flat, off,
+                                C, G, toff, u_rows, interpret,
+                                group_block=1, acc_dtype=jnp.int32,
+                                col_unroll=16):
+    """Query-batch scan over `_search_bin_flat_impl` (see
+    `_search_bin_batch_impl` for the amortisation rationale)."""
+    def one(_, q_pad):
+        return None, _search_bin_flat_impl(
+            q_pad, gaps, prof_flat, tail_flat, off, C, G, toff, u_rows,
+            interpret, group_block, acc_dtype, col_unroll)
+    _, scores = jax.lax.scan(one, None, q_batch)
+    return scores
+
+
 _STATIC = ("u_rows", "interpret", "group_block", "acc_dtype", "col_unroll")
+# off/toff stay traced (dynamic_slice takes traced starts), so bins that
+# share (C, G) shapes also share one compiled search program
+_FLAT_STATIC = _STATIC + ("C", "G")
 _search_bin = jax.jit(_search_bin_impl, static_argnames=_STATIC)
 _search_bin_stream = jax.jit(_search_bin_stream_impl, static_argnames=_STATIC)
 _search_bin_batch = jax.jit(_search_bin_batch_impl, static_argnames=_STATIC)
 _search_bin_hostslice = jax.jit(_search_bin_hostslice_impl,
                                 static_argnames=_STATIC)
+_search_bin_flat = jax.jit(_search_bin_flat_impl,
+                           static_argnames=_FLAT_STATIC)
+_search_bin_flat_batch = jax.jit(_search_bin_flat_batch_impl,
+                                 static_argnames=_FLAT_STATIC)
 
 
 _build_profile_stack = jax.jit(jax.vmap(build_profile, in_axes=(0, None)))
@@ -371,9 +441,19 @@ class SearchEngine:
         # everywhere, ids -1 mask them out of top-k).
         self.metrics = Metrics()
         gb = self.config.group_block
-        self.prof_stacks = {}
         self.seq_stacks = {}
         self.host_slices = {}
+        # precompute mode: engine-wide FLAT profile arrays + per-bin
+        # geometry (see _search_bin_flat_impl).  Any device op whose shape
+        # depends on the bin recompiles per bin — with ~19 bins that made
+        # setup compile-bound (~35 s through the remote compile service) —
+        # so all per-bin layout work happens host-side in numpy and the
+        # device sees ONE transfer + ONE gather (+ one for tail chunks).
+        self.prof_flat = None           # int8[Ctot, 24, POS, 128]
+        self.tail_flat = None           # int8[Ttot, 24, POS/2, 128]
+        self.bin_geom = {}              # L -> (off, C, G_pad, toff|None)
+        flat_parts, tail_parts = [], []
+        coff = toff_n = 0
         ids_flat = []
         t_setup = time.perf_counter()
         for L in db.bin_lengths:
@@ -392,24 +472,39 @@ class SearchEngine:
                     [ids_np, np.full((G_pad - G, SUBLANES, LANES), -1,
                                      np.int32)])
             ids_flat.append(ids_np.reshape(-1))
-            seq = jnp.asarray(np.ascontiguousarray(seq_np))
-            main, tail = _split_chunks(seq, L)
+            C = L // CHUNK_WIDTH
+            main_np = seq_np[:, :C * CHUNK_WIDTH].reshape(
+                G_pad, C, CHUNK_WIDTH, SUBLANES, LANES)
+            tail_np = seq_np[:, C * CHUNK_WIDTH:] if L % CHUNK_WIDTH \
+                else None
             if self.mode == "precompute":
-                # one jitted call per bin (a per-chunk eager loop costs one
-                # dispatch round trip per chunk — dominated engine setup)
-                main_cg = jnp.swapaxes(main, 0, 1)      # [C, G, W, 8, 128]
-                if main_cg.shape[0]:
-                    main_prof = _build_profile_stack(main_cg, self.submat)
-                else:
-                    main_prof = jnp.zeros(
-                        (0, G_pad, 24, CHUNK_WIDTH * SUBLANES, LANES),
-                        jnp.int8)
-                tail_prof = _build_profile_jit(tail, self.submat) \
-                    if tail is not None else None
-                self.prof_stacks[L] = (main_prof, tail_prof)
+                if C:
+                    flat_parts.append(np.ascontiguousarray(
+                        main_np.transpose(1, 0, 2, 3, 4)).reshape(
+                            C * G_pad, CHUNK_WIDTH, SUBLANES, LANES))
+                toff = None
+                if tail_np is not None:
+                    tail_parts.append(tail_np)
+                    toff = toff_n
+                    toff_n += G_pad
+                self.bin_geom[L] = (coff, C, G_pad, toff)
+                coff += C * G_pad
             else:                       # "stream" (config validates the set)
-                self.seq_stacks[L] = (
-                    jnp.asarray(main.transpose(1, 0, 2, 3, 4)), tail)
+                main_dev = jnp.asarray(np.ascontiguousarray(
+                    np.swapaxes(main_np, 0, 1)))     # [C, G, W, 8, 128]
+                tail_dev = jnp.asarray(tail_np) if tail_np is not None \
+                    else None
+                self.seq_stacks[L] = (main_dev, tail_dev)
+        if self.mode == "precompute":
+            POS = CHUNK_WIDTH * SUBLANES
+            if flat_parts:
+                self.prof_flat = _build_profile_jit(
+                    jnp.asarray(np.concatenate(flat_parts)), self.submat)
+            else:
+                self.prof_flat = jnp.zeros((0, 24, POS, LANES), jnp.int8)
+            if tail_parts:
+                self.tail_flat = _build_profile_jit(
+                    jnp.asarray(np.concatenate(tail_parts)), self.submat)
         self.submat_dev = jnp.asarray(self.submat)
 
         # slot -> sorted-sequence-id map in slot order (bins ascending);
@@ -502,16 +597,20 @@ class SearchEngine:
         interpret = self._interpret
         precompute = self.mode == "precompute"
         bin_lengths = tuple(self.db.bin_lengths)
+        bin_geom = dict(self.bin_geom)
 
         @jax.jit
         def f(q_pad, gaps, submat, stacks, valid):
             outs = []
             for L in bin_lengths:
-                main, tail = stacks[L]
                 if precompute:
-                    s = _search_bin_impl(q_pad, gaps, main, u,
-                                         interpret, gb, acc, tail, cu)
+                    prof_flat, tail_flat = stacks
+                    off, C, G, toff = bin_geom[L]
+                    s = _search_bin_flat_impl(q_pad, gaps, prof_flat,
+                                              tail_flat, off, C, G, toff,
+                                              u, interpret, gb, acc, cu)
                 else:
+                    main, tail = stacks[L]
                     s = _search_bin_stream_impl(q_pad, gaps, submat,
                                                 main, u, interpret,
                                                 gb, acc, tail, cu)
@@ -532,11 +631,15 @@ class SearchEngine:
         outs = []
         for L in self.db.bin_lengths:
             if self.mode == "precompute":
-                main, tail = self.prof_stacks[L]
-                s = _search_bin(q_pad, self.gaps, main,
-                                self.config.u_rows, self._interpret,
-                                self.config.group_block, self._acc, tail,
-                                self.config.col_unroll)
+                off, C, G, toff = self.bin_geom[L]
+                s = _search_bin_flat(q_pad, self.gaps, self.prof_flat,
+                                     self.tail_flat if toff is not None
+                                     else None, off, C=C, G=G, toff=toff,
+                                     u_rows=self.config.u_rows,
+                                     interpret=self._interpret,
+                                     group_block=self.config.group_block,
+                                     acc_dtype=self._acc,
+                                     col_unroll=self.config.col_unroll)
             else:
                 main, tail = self.seq_stacks[L]
                 s = _search_bin_stream(q_pad, self.gaps, self.submat_dev,
@@ -556,7 +659,7 @@ class SearchEngine:
             top_scores, top_slots = _host_topk(scores, self.ids_flat, k)
         elif self.config.fused_dispatch:
             q_pad = jnp.asarray(self._pad_query(query))
-            stacks = self.prof_stacks if \
+            stacks = (self.prof_flat, self.tail_flat) if \
                 self.mode == "precompute" else self.seq_stacks
             top_scores, top_slots = self._search_fn(k)(
                 q_pad, self.gaps, self.submat_dev, stacks, self.valid)
@@ -631,13 +734,16 @@ class SearchEngine:
             else:
                 outs = []
                 for L in self.db.bin_lengths:
-                    main, tail = self.prof_stacks[L]
-                    s = _search_bin_batch(qb, self.gaps, main,
-                                          self.config.u_rows,
-                                          self._interpret,
-                                          self.config.group_block,
-                                          self._acc,
-                                          tail, self.config.col_unroll)
+                    off, C, G, toff = self.bin_geom[L]
+                    s = _search_bin_flat_batch(
+                        qb, self.gaps, self.prof_flat,
+                        self.tail_flat if toff is not None else None,
+                        off, C=C, G=G, toff=toff,
+                        u_rows=self.config.u_rows,
+                        interpret=self._interpret,
+                        group_block=self.config.group_block,
+                        acc_dtype=self._acc,
+                        col_unroll=self.config.col_unroll)
                     outs.append(s.reshape(len(idxs), -1))
                 flat = jnp.concatenate(outs, axis=1)
                 top_scores, top_slots = jax.vmap(
