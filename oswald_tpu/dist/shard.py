@@ -40,8 +40,9 @@ from oswald_tpu.submat import get_submat
 from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
 from oswald_tpu.kernels import build_profile, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
-    SearchConfig, SearchResult, _search_bin_impl, _search_bin_stream_impl,
-    _search_bin_batch_impl, _split_chunks, pad_query,
+    SearchConfig, SearchResult, _search_bin_stream_impl,
+    _search_bin_flat_impl, _search_bin_flat_batch_impl, _split_chunks,
+    pad_query,
 )
 from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics
@@ -134,13 +135,15 @@ def _put_local(mesh: Mesh, spec: P, local_np, global_shape):
 class DistributedSearchEngine:
     """Database search over a device mesh with collective top-k merge.
 
-    Per length bin L the device-resident state is either a precomputed
-    profile stack int8[C, G, 24, POS, 128] or the packed residues
-    int8[C, G, W, 8, 128] (config.profile_mode), sharded over the group
-    axis G.  A search runs one jitted shard_map program per bin that scans
-    the local chunks, takes the local top-k, all-gathers the candidates,
-    and reduces to the replicated global top-k; bins merge on the host
-    (k entries per bin).
+    Device-resident state: precompute mode holds ONE device-major flat
+    profile array int8[ndev*Ctot_loc, 24, POS, 128] (+ tails) sharded on
+    axis 0 — every bin's window lives on the device that scans it, and
+    setup runs a single compiled sharded gather (see __init__); stream
+    mode holds per-bin packed residues int8[C, G, W, 8, 128] sharded over
+    the group axis.  A search runs one jitted shard_map program per bin
+    that scans the local chunks, takes the local top-k, all-gathers the
+    candidates, and reduces to the replicated global top-k; bins merge on
+    the host (k entries per bin).
     """
 
     def __init__(self, db: PackedDB, config: SearchConfig = None,
@@ -175,19 +178,27 @@ class DistributedSearchEngine:
                 "(profile_mode='host_stream'), which streams the database "
                 "from host memory")
 
-        build_sharded = jax.jit(
-            jax.vmap(build_profile, in_axes=(0, None)),
-            out_shardings=NamedSharding(self.mesh, P(None, AXIS)))
-
         self.metrics = Metrics()
         t_setup = time.perf_counter()
-        self.prof_stacks = {}
         self.seq_stacks = {}
         self.ids = {}
         self._bin_fns = {}
-        build_tail = jax.jit(
-            build_profile,
-            out_shardings=NamedSharding(self.mesh, P(AXIS)))
+        # precompute mode: ONE device-sharded flat chunk array for the
+        # whole database (+ one for 64-wide tails), gathered into profiles
+        # by a single compiled sharded program — the same
+        # per-bin-shape-compiles-dominate-setup fix as the single-chip
+        # engine (engine/search.py), with the flat axis laid out
+        # DEVICE-MAJOR: device d's block rows are its own bins' (c, g_loc)
+        # entries, so P(AXIS) on axis 0 puts every row on the device that
+        # scans it.  Searches dynamic_slice their bin's window out of the
+        # local block inside shard_map (_search_bin_flat_impl).
+        self.prof_flat = None
+        self.tail_flat = None
+        self.bin_geom = {}              # L -> (off_loc, C, G_loc, toff|None)
+        flat_parts = []                 # per bin: [ndev_loc, C*G_loc, W,8,128]
+        tail_parts = []                 # per bin: [ndev_loc, G_loc, 64,8,128]
+        coff = toff_n = 0
+        ndev_loc = None
 
         for L in db.bin_lengths:
             # pad the global group count so every shard's local count also
@@ -198,7 +209,11 @@ class DistributedSearchEngine:
             quanta = self.ndev * self.config.group_block
             G = -(-G_real // quanta) * quanta
             C = L // CHUNK_WIDTH
+            G_loc = G // self.ndev
             lo, hi = process_group_slice(G, self.mesh)
+            nloc = (hi - lo) // G_loc if G_loc else 0
+            ndev_loc = nloc if ndev_loc is None else ndev_loc
+            assert nloc == ndev_loc, (nloc, ndev_loc)
             seq_loc = np.full((hi - lo, L, SUBLANES, LANES), DUMMY, np.int8)
             ids_loc = np.full((hi - lo, SUBLANES, LANES), -1, np.int32)
             take = max(0, min(hi, G_real) - lo)
@@ -206,35 +221,71 @@ class DistributedSearchEngine:
                 seq_loc[:take] = db.bins[L]["seq"][lo:lo + take]
                 ids_loc[:take] = db.bins[L]["id"][lo:lo + take]
 
-            main_loc, tail_loc = _split_chunks(seq_loc, L)
-            # [C, G_local, W, 8, 128] chunk-major like the engine
-            main_loc = np.ascontiguousarray(np.swapaxes(main_loc, 0, 1))
-            seq_sharded = _put_local(
-                self.mesh, P(None, AXIS), main_loc,
-                (C, G, CHUNK_WIDTH, SUBLANES, LANES))
-            tail_sharded = None
-            if tail_loc is not None:
-                tail_sharded = _put_local(
-                    self.mesh, P(AXIS), np.ascontiguousarray(tail_loc),
-                    (G,) + tail_loc.shape[1:])
+            main_loc = seq_loc[:, :C * CHUNK_WIDTH].reshape(
+                hi - lo, C, CHUNK_WIDTH, SUBLANES, LANES)
+            tail_loc = seq_loc[:, C * CHUNK_WIDTH:] if L % CHUNK_WIDTH \
+                else None
             if self.mode == "precompute":
                 if C:
-                    main_prof = build_sharded(seq_sharded, self.submat_dev)
-                else:
-                    # tail-only bin: XLA refuses out_shardings on an empty
-                    # array, so place the zero-chunk stack directly
-                    main_prof = _put_local(
-                        self.mesh, P(None, AXIS),
-                        np.zeros((0, hi - lo, 24,
-                                  CHUNK_WIDTH * SUBLANES, LANES), np.int8),
-                        (0, G, 24, CHUNK_WIDTH * SUBLANES, LANES))
-                tail_prof = build_tail(tail_sharded, self.submat_dev) \
-                    if tail_sharded is not None else None
-                self.prof_stacks[L] = (main_prof, tail_prof)
+                    # [ndev_loc, C*G_loc, W, 8, 128], chunk-major per device
+                    flat_parts.append(np.ascontiguousarray(
+                        main_loc.reshape(nloc, G_loc, C, CHUNK_WIDTH,
+                                         SUBLANES, LANES)
+                        .transpose(0, 2, 1, 3, 4, 5)).reshape(
+                            nloc, C * G_loc, CHUNK_WIDTH, SUBLANES, LANES))
+                toff = None
+                if tail_loc is not None:
+                    tail_parts.append(tail_loc.reshape(
+                        nloc, G_loc, CHUNK_WIDTH // 2, SUBLANES, LANES))
+                    toff = toff_n
+                    toff_n += G_loc
+                self.bin_geom[L] = (coff, C, G_loc, toff)
+                coff += C * G_loc
             else:
+                # chunk-major [C, G, W, 8, 128] residues, group axis sharded
+                seq_sharded = _put_local(
+                    self.mesh, P(None, AXIS),
+                    np.ascontiguousarray(np.swapaxes(main_loc, 0, 1)),
+                    (C, G, CHUNK_WIDTH, SUBLANES, LANES))
+                tail_sharded = None
+                if tail_loc is not None:
+                    tail_sharded = _put_local(
+                        self.mesh, P(AXIS), np.ascontiguousarray(tail_loc),
+                        (G,) + tail_loc.shape[1:])
                 self.seq_stacks[L] = (seq_sharded, tail_sharded)
             self.ids[L] = _put_local(self.mesh, P(AXIS), ids_loc,
                                      (G, SUBLANES, LANES))
+
+        if self.mode == "precompute":
+            POS = CHUNK_WIDTH * SUBLANES
+            build = jax.jit(build_profile,
+                            out_shardings=NamedSharding(self.mesh, P(AXIS)))
+            nloc = ndev_loc or 0
+            if flat_parts:
+                local = np.concatenate(
+                    [np.concatenate([part[i] for part in flat_parts])
+                     for i in range(nloc)]) if nloc else \
+                    np.zeros((0, CHUNK_WIDTH, SUBLANES, LANES), np.int8)
+                flat_sharded = _put_local(
+                    self.mesh, P(AXIS), local,
+                    (self.ndev * coff, CHUNK_WIDTH, SUBLANES, LANES))
+                self.prof_flat = build(flat_sharded, self.submat_dev)
+            else:
+                self.prof_flat = _put_local(
+                    self.mesh, P(AXIS),
+                    np.zeros((0, 24, POS, LANES), np.int8),
+                    (0, 24, POS, LANES))
+            if tail_parts:
+                local = np.concatenate(
+                    [np.concatenate([part[i] for part in tail_parts])
+                     for i in range(nloc)]) if nloc else \
+                    np.zeros((0, CHUNK_WIDTH // 2, SUBLANES, LANES),
+                             np.int8)
+                tail_sharded = _put_local(
+                    self.mesh, P(AXIS), local,
+                    (self.ndev * toff_n, CHUNK_WIDTH // 2, SUBLANES,
+                     LANES))
+                self.tail_flat = build(tail_sharded, self.submat_dev)
         self.metrics.add("engine_setup", time.perf_counter() - t_setup)
 
     def _bin_fn(self, L: int, k: int):
@@ -247,13 +298,17 @@ class DistributedSearchEngine:
         gb, acc, cu = (self.config.group_block, self._acc,
                        self.config.col_unroll)
         precompute = self.mode == "precompute"
+        geom = self.bin_geom.get(L)
 
         def local_fn(q_pad, gaps, submat, data, ids):
-            main, tail = data
             if precompute:
-                scores = _search_bin_impl(q_pad, gaps, main, u_rows,
-                                          interpret, gb, acc, tail, cu)
+                prof_flat, tail_flat = data
+                off, C, G_loc, toff = geom
+                scores = _search_bin_flat_impl(
+                    q_pad, gaps, prof_flat, tail_flat, off, C, G_loc,
+                    toff, u_rows, interpret, gb, acc, cu)
             else:
+                main, tail = data
                 scores = _search_bin_stream_impl(q_pad, gaps, submat, main,
                                                  u_rows, interpret, gb, acc,
                                                  tail, cu)
@@ -271,11 +326,14 @@ class DistributedSearchEngine:
             top_s, top_i = jax.lax.top_k(all_s, min(k, all_s.shape[0]))
             return top_s, jnp.take(all_ids, top_i)
 
-        # data = (main, tail): main [C, G, ...] shards on axis 1, the tail
-        # [G, ...] (or None) on axis 0
+        # precompute data = (prof_flat, tail_flat): device-major flat rows
+        # shard on axis 0; stream data = (main [C, G, ...] on axis 1,
+        # tail [G, ...] on axis 0)
+        data_spec = (P(AXIS), P(AXIS)) if precompute else \
+            (P(None, AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(
             local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), (P(None, AXIS), P(AXIS)), P(AXIS)),
+            in_specs=(P(), P(), P(), data_spec, P(AXIS)),
             out_specs=(P(), P()),
             check_vma=False))
         self._bin_fns[key] = fn
@@ -290,7 +348,7 @@ class DistributedSearchEngine:
         k = min(self.config.top, max(self.db.n_seqs, 1))
         cand_s, cand_i = [], []
         for L in self.db.bin_lengths:
-            data = self.prof_stacks[L] if \
+            data = (self.prof_flat, self.tail_flat) if \
                 self.mode == "precompute" else \
                 self.seq_stacks[L]
             s, i = self._bin_fn(L, k)(q_pad, self.gaps, self.submat_dev,
@@ -324,11 +382,14 @@ class DistributedSearchEngine:
         u_rows, interpret = self.config.u_rows, self._interpret
         gb, acc, cu = (self.config.group_block, self._acc,
                        self.config.col_unroll)
+        geom = self.bin_geom[L]
 
         def local_fn(q_batch, gaps, submat, data, ids):
-            main, tail = data
-            scores = _search_bin_batch_impl(q_batch, gaps, main, u_rows,
-                                            interpret, gb, acc, tail, cu)
+            prof_flat, tail_flat = data
+            off, C, G_loc, toff = geom
+            scores = _search_bin_flat_batch_impl(
+                q_batch, gaps, prof_flat, tail_flat, off, C, G_loc, toff,
+                u_rows, interpret, gb, acc, cu)
             Q = q_batch.shape[0]
             flat = scores.reshape(Q, -1)
             idsf = ids.reshape(-1)
@@ -344,7 +405,7 @@ class DistributedSearchEngine:
 
         fn = jax.jit(jax.shard_map(
             local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), (P(None, AXIS), P(AXIS)), P(AXIS)),
+            in_specs=(P(), P(), P(), (P(AXIS), P(AXIS)), P(AXIS)),
             out_specs=(P(), P()),
             check_vma=False))
         self._bin_fns[key] = fn
@@ -375,7 +436,7 @@ class DistributedSearchEngine:
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
             cand_s, cand_i = [], []
             for L in self.db.bin_lengths:
-                data = self.prof_stacks[L]
+                data = (self.prof_flat, self.tail_flat)
                 s, i = self._bin_batch_fn(L, k)(
                     qb, self.gaps, self.submat_dev, data, self.ids[L])
                 cand_s.append(s)

@@ -341,7 +341,8 @@ _STATIC = ("u_rows", "interpret", "group_block", "acc_dtype", "col_unroll")
 _FLAT_STATIC = _STATIC + ("C", "G")
 _search_bin = jax.jit(_search_bin_impl, static_argnames=_STATIC)
 _search_bin_stream = jax.jit(_search_bin_stream_impl, static_argnames=_STATIC)
-_search_bin_batch = jax.jit(_search_bin_batch_impl, static_argnames=_STATIC)
+# (unjitted _search_bin_batch_impl stays exported for dist's shard_map;
+# the single-chip engine batches through the flat path below)
 _search_bin_hostslice = jax.jit(_search_bin_hostslice_impl,
                                 static_argnames=_STATIC)
 _search_bin_flat = jax.jit(_search_bin_flat_impl,
@@ -350,7 +351,6 @@ _search_bin_flat_batch = jax.jit(_search_bin_flat_batch_impl,
                                  static_argnames=_FLAT_STATIC)
 
 
-_build_profile_stack = jax.jit(jax.vmap(build_profile, in_axes=(0, None)))
 _build_profile_jit = jax.jit(build_profile)
 
 

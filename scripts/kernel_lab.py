@@ -72,7 +72,12 @@ def _kernel_lab(u_rows, gb, acc_dtype, col_unroll, variant, q_ref, gaps_ref,
     if variant == "ks":
         biases = [eg * u for u in range(1, U + 1)]
 
-    def one_col(j, carry):
+    def load_s(j):
+        p = j * SUBLANES
+        return [[prof_ref[g, a[u], pl.ds(p, SUBLANES), :]
+                 .astype(acc_dtype) for u in range(U)] for g in range(gb)]
+
+    def one_col(j, carry, s_pre=None):
         hprev, smax, e, hl = carry
         p = j * SUBLANES
         f_in = [fcol_ref[g, pl.ds(p, SUBLANES), :] for g in range(gb)]
@@ -83,13 +88,14 @@ def _kernel_lab(u_rows, gb, acc_dtype, col_unroll, variant, q_ref, gaps_ref,
         for g in range(gb):
             # diag[u] = H[i0+u-1, j-1]: hprev for u=0, prev column's hl after
             diag = [hprev[g]] + hl[g][:U - 1]
-            s = [prof_ref[g, a[u], pl.ds(p, SUBLANES), :].astype(acc_dtype)
+            s = s_pre[g] if s_pre is not None else \
+                [prof_ref[g, a[u], pl.ds(p, SUBLANES), :].astype(acc_dtype)
                  for u in range(U)]
             # parallel part: F-independent candidate per row
             curp = [jnp.maximum(jnp.maximum(diag[u] + s[u], 0), e[g][u])
                     for u in range(U)]
             c = [curp[u] - oeg for u in range(U)]
-            if variant == "fscan":
+            if variant != "ks":            # fscan and pre share the scan
                 f = [f_in[g]]
                 for u in range(1, U):
                     f.append(jnp.maximum(f[u - 1] - eg, c[u - 1]))
@@ -122,10 +128,23 @@ def _kernel_lab(u_rows, gb, acc_dtype, col_unroll, variant, q_ref, gaps_ref,
                 tuple(tuple(eu) for eu in e),
                 tuple(tuple(hu) for hu in hl))
 
-    def body(jj, carry):
-        for k in range(col_unroll):
-            carry = one_col(jj * col_unroll + k, carry)
-        return carry
+    if variant == "pre":
+        # software-pipelined profile loads: issue column k+1's s loads
+        # before column k's compute chain
+        def body(jj, carry):
+            j0 = jj * col_unroll
+            s_next = load_s(j0)
+            for k in range(col_unroll):
+                s_cur = s_next
+                if k + 1 < col_unroll:
+                    s_next = load_s(j0 + k + 1)
+                carry = one_col(j0 + k, carry, s_cur)
+            return carry
+    else:
+        def body(jj, carry):
+            for k in range(col_unroll):
+                carry = one_col(jj * col_unroll + k, carry)
+            return carry
 
     _, smax, e, hl = jax.lax.fori_loop(0, W // col_unroll, body, carry0)
     for g in range(gb):
@@ -225,13 +244,14 @@ def _scan_bin(chunk_fn, q, gaps, prof_stack, u_rows, gb, acc, cu, **kw):
     return scores.astype(jnp.int32)
 
 
-def bench(variant, m, G, L, u, gb, cu, acc=jnp.float32, iters=5):
+def bench(variant, m, G, L, u, gb, cu, acc=jnp.float32, iters=5, W=None):
     rng = np.random.default_rng(0)
-    C = L // CHUNK_WIDTH
+    W = W or CHUNK_WIDTH
+    C = L // W
     q = jnp.asarray(rng.integers(0, 23, m), jnp.int32)
     gaps = jnp.asarray([10, 2], jnp.int32)
     sm = get_submat("blosum62").astype("int8")
-    seq = rng.integers(0, 23, (G, C, CHUNK_WIDTH, SUBLANES, LANES)) \
+    seq = rng.integers(0, 23, (G, C, W, SUBLANES, LANES)) \
         .astype(np.int8)
     prof = jnp.stack([build_profile(jnp.asarray(seq[:, c]), sm)
                       for c in range(C)])
@@ -282,6 +302,9 @@ if __name__ == "__main__":
     p.add_argument("--L", type=int, default=1024)
     p.add_argument("--configs", default="8:2:8",
                    help="comma list of U:GB:CU")
+    p.add_argument("--W", type=int, default=None,
+                   help="chunk width (default 128; 64 halves the profile "
+                        "block so deeper GB fits VMEM)")
     args = p.parse_args()
 
     variants = args.variants.split(",")
@@ -296,8 +319,10 @@ if __name__ == "__main__":
         for cfg in args.configs.split(","):
             u, gb, cu = map(int, cfg.split(":"))
             try:
-                g, dt, ref = bench(v, args.m, args.groups, args.L, u, gb, cu)
-                print(f"{v:6s} U={u} GB={gb} CU={cu:2d}: {g:7.1f} Gc/s "
+                g, dt, ref = bench(v, args.m, args.groups, args.L, u, gb,
+                                   cu, W=args.W)
+                print(f"{v:6s} W={args.W or 128} U={u} GB={gb} CU={cu:2d}: "
+                      f"{g:7.1f} Gc/s "
                       f"({dt * 1e3:.2f} ms) sum={ref}", flush=True)
             except Exception as e:
                 print(f"{v:6s} U={u} GB={gb} CU={cu:2d}: FAILED "
