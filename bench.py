@@ -165,6 +165,18 @@ def run_suite(db, eng, rng, on_tpu, file):
                       "gcups": round(Q * db.n_residues / dt / 1e9, 2),
                       "search_s": round(dt, 4)}), file=file)
 
+    # stream mode: residues resident, profiles rebuilt per chunk in-scan
+    # (the 24x-less-HBM middle mode)
+    st = SearchEngine(db, SearchConfig(profile_mode="stream"))
+    q = rng.integers(0, 23, size=512).astype(np.int8)
+    st.search(q)                           # compile
+    t0 = time.perf_counter()
+    st.search(q)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"config": "stream_mode", "qlen": 512,
+                      "gcups": round(512 * db.n_residues / dt / 1e9, 2),
+                      "search_s": round(dt, 4)}), file=file)
+
     # larger-than-HBM data path: force the planner's last-resort mode (as
     # if the packed DB exceeded device memory) and measure the streamed
     # throughput — the reference's bounded-chunk streaming analog

@@ -2,23 +2,26 @@
 
 `preprocess_db_streaming` builds the same `.oswt` artifact as
 `oswald_tpu.io.db.preprocess_db` but never holds the FASTA or the packed
-database in RAM: the file is scanned in record-aligned blocks (two passes)
-and packed residues are scattered straight into np.memmap-backed bin files.
-Peak host memory is O(block) + O(n_seqs) index arrays — an
-Environmental-NR-scale database (BASELINE.json config 5, ~100M sequences,
-tens of GB of FASTA) preprocesses on a host with a few GB of RAM.
+database in RAM.  Peak host memory is O(block) + O(n_seqs) index arrays —
+an Environmental-NR-scale database (BASELINE.json config 5, ~100M
+sequences, tens of GB of FASTA) preprocesses on a host with a few GB of
+RAM.
 
-Pass structure (the reference's preprocess is also multi-pass over the
-file, /root/reference/host/src/sequences.c:28-119; it holds everything in
-RAM because its target databases fit):
+Structure (the reference's preprocess scans its file three times and
+holds everything in RAM, /root/reference/host/src/sequences.c:28-119;
+here the FASTA is read ONCE, through a read-ahead thread):
 
-  pass 1: stream blocks -> per-record lengths + titles (titles spill to
-          the output .desc-analog file immediately)
+  scan:   stream record-aligned blocks -> the native OpenMP scanner
+          emits per-record lengths, title bytes (spilled to a temp file)
+          and encoded residues (spilled to a file-order staging file) in
+          one walk per block
   sort:   argsort of the length array (RAM: 8 bytes/sequence)
+  titles: rewrite the title spill in sorted order (OpenMP span gather)
   plan:   group/bin geometry from sorted lengths (oswald_tpu.io.db rules:
           1024-lane groups, 64-quantum lengths, bin-partition DP)
-  pass 2: stream blocks again -> encode -> scatter each sequence's
-          residues into its (bin, group, position, lane) via np.memmap
+  pack:   gather each group's records from the staging file through the
+          sorted permutation straight into the np.memmap'd bin files
+          (OpenMP position-major packer)
 """
 
 import json
@@ -56,6 +59,32 @@ def _iter_blocks(path: str, block_bytes: int):
             carry = buf[cut + 1:]
 
 
+def _iter_blocks_prefetch(path: str, block_bytes: int, depth: int = 2):
+    """_iter_blocks through a reader thread: the next block's file read
+    (and the GIL-free part of its split) overlaps the current block's
+    parse/pack — file IO and the native scan both release the GIL."""
+    import queue
+    import threading
+    q = queue.Queue(maxsize=depth)
+
+    def reader():
+        try:
+            for b in _iter_blocks(path, block_bytes):
+                q.put(b)
+            q.put(None)
+        except BaseException as e:        # surface IO errors in the consumer
+            q.put(e)
+
+    threading.Thread(target=reader, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _parse_block(data: bytes, titles: str | None = "list"):
     from oswald_tpu.io import native
     if native.available() and not os.environ.get("OSWALD_NO_NATIVE"):
@@ -91,7 +120,7 @@ def preprocess_db_streaming(fasta_path: str, out_path: str,
     tlen_parts = []
     t = time.perf_counter()
     with open(tmp_titles, "wb") as tf, open(tmp_resid, "wb") as rf:
-        for block in _iter_blocks(fasta_path, block_bytes):
+        for block in _iter_blocks_prefetch(fasta_path, block_bytes):
             t = _mark("read1", t)
             (tjoined, tlens), flat, ls = _parse_block(block, titles="bytes")
             lengths.append(np.asarray(ls, np.int64))
