@@ -165,6 +165,13 @@ def run_suite(db, eng, rng, on_tpu, file):
                       "gcups": round(Q * db.n_residues / dt / 1e9, 2),
                       "search_s": round(dt, 4)}), file=file)
 
+    # release the headline engine's HBM (2.1 GiB of profiles at the
+    # default db) before constructing more engines — the suite otherwise
+    # accumulates engines until the device allocator fragments/exhausts
+    import gc
+    eng.prof_flat = eng.tail_flat = None
+    gc.collect()
+
     # stream mode: residues resident, profiles rebuilt per chunk in-scan
     # (the 24x-less-HBM middle mode)
     st = SearchEngine(db, SearchConfig(profile_mode="stream"))
@@ -176,6 +183,8 @@ def run_suite(db, eng, rng, on_tpu, file):
     print(json.dumps({"config": "stream_mode", "qlen": 512,
                       "gcups": round(512 * db.n_residues / dt / 1e9, 2),
                       "search_s": round(dt, 4)}), file=file)
+    del st
+    gc.collect()
 
     # larger-than-HBM data path: force the planner's last-resort mode (as
     # if the packed DB exceeded device memory) and measure the streamed
@@ -190,6 +199,8 @@ def run_suite(db, eng, rng, on_tpu, file):
     print(json.dumps({"config": "host_stream", "qlen": 512,
                       "gcups": round(512 * db.n_residues / dt / 1e9, 2),
                       "search_s": round(dt, 4)}), file=file)
+    del hs
+    gc.collect()
 
     # matrices: engine setup (profile gather) + one search per matrix
     for m in (("pam30", "blosum90") if on_tpu else ("pam30",)):
@@ -205,6 +216,8 @@ def run_suite(db, eng, rng, on_tpu, file):
                           "setup_s": round(setup, 2),
                           "gcups": round(256 * db.n_residues / dt / 1e9, 2)}),
               file=file)
+        del e2
+        gc.collect()
 
 
 if __name__ == "__main__":

@@ -44,14 +44,23 @@ def bootstrap(coordinator_address: str | None = None,
     global _bootstrapped
     if _bootstrapped:
         return jax.process_index(), jax.process_count()
-    explicit = coordinator_address is not None
-    if not explicit and jax.default_backend() != "tpu":
-        # no cluster env to discover; stay single-process
-        return jax.process_index(), jax.process_count()
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id,
-                               local_device_ids=local_device_ids)
+    explicit = coordinator_address is not None or \
+        num_processes is not None or process_id is not None
+    if not explicit:
+        # IMPORTANT: probe NOTHING on jax before initialize() — even
+        # jax.default_backend() initializes the XLA backend, after which
+        # jax.distributed.initialize() refuses to run.  Let initialize()
+        # itself do the cluster auto-discovery; outside a cluster
+        # environment it raises and we stay single-process.
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return jax.process_index(), jax.process_count()
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id,
+                                   local_device_ids=local_device_ids)
     _bootstrapped = True
     return jax.process_index(), jax.process_count()
 

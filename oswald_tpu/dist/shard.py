@@ -41,8 +41,7 @@ from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
 from oswald_tpu.kernels import build_profile, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_stream_impl,
-    _search_bin_flat_impl, _search_bin_flat_batch_impl, _split_chunks,
-    pad_query,
+    _search_bin_flat_impl, _search_bin_flat_batch_impl, pad_query,
 )
 from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics

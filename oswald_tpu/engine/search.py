@@ -390,21 +390,6 @@ def pad_query(query, config: "SearchConfig", for_batch: bool = False):
     return np.concatenate([q, np.full(m_pad - q.size, DUMMY, np.int32)])
 
 
-def _split_chunks(seq, L):
-    """[G, L, 8, 128] -> ([G, C, 128, 8, 128] full chunks,
-    [G, 64, 8, 128] tail or None).  L is a multiple of LENGTH_QUANTUM=64;
-    an odd multiple leaves a half-width tail chunk."""
-    G = seq.shape[0]
-    C = L // CHUNK_WIDTH
-    main = seq[:, :C * CHUNK_WIDTH].reshape(G, C, CHUNK_WIDTH, SUBLANES,
-                                            LANES)
-    tail = None
-    if L % CHUNK_WIDTH:
-        assert L % CHUNK_WIDTH == CHUNK_WIDTH // 2, L
-        tail = seq[:, C * CHUNK_WIDTH:]
-    return main, tail
-
-
 class SearchEngine:
     """Searches one packed database with a fixed matrix/gap configuration.
 

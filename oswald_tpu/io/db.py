@@ -22,6 +22,7 @@ assemble_multiple_chunks_db :393-623).  Differences by design:
 import dataclasses
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -331,10 +332,11 @@ def load_db(path: str, mmap: bool = True,
     idx_path = os.path.join(d, "titles_idx.npy")
     if lazy_titles and not os.path.exists(idx_path):
         # v1 artifacts have no byte-offset index; honor the request as far
-        # as possible rather than crashing on a missing file
+        # as possible rather than crashing on a missing file (stderr:
+        # --json runs keep stdout machine-readable)
         print(f"oswald-tpu: {d} is a v{meta['version']} artifact without "
               "titles_idx.npy; loading titles eagerly (re-run preprocess "
-              "to enable lazy titles)")
+              "to enable lazy titles)", file=sys.stderr)
         lazy_titles = False
     if lazy_titles is None:
         lazy_titles = meta["n_seqs"] >= 1_000_000 and os.path.exists(idx_path)

@@ -49,8 +49,17 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not any(os.path.exists(os.path.abspath(p)) for p in _LIB_PATHS):
+    lib = _scan_paths()
+    if lib is None:
+        # missing OR stale/ABI-mismatched on disk: (re)build and retry
+        # once — `make` overwrites a stale .so in place
         _try_build()
+        lib = _scan_paths()
+    _lib = lib
+    return _lib
+
+
+def _scan_paths():
     for p in _LIB_PATHS:
         p = os.path.abspath(p)
         if os.path.exists(p):
@@ -93,8 +102,7 @@ def _load():
             lib.oswald_gather_spans.argtypes = [
                 c_u8p, c_i64p, c_i64p, c_i64p, ctypes.c_int64, c_u8p]
             lib.oswald_io_version.restype = ctypes.c_int
-            _lib = lib
-            return _lib
+            return lib
     return None
 
 

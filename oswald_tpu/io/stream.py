@@ -62,27 +62,46 @@ def _iter_blocks(path: str, block_bytes: int):
 def _iter_blocks_prefetch(path: str, block_bytes: int, depth: int = 2):
     """_iter_blocks through a reader thread: the next block's file read
     (and the GIL-free part of its split) overlaps the current block's
-    parse/pack — file IO and the native scan both release the GIL."""
+    parse/pack — file IO and the native scan both release the GIL.
+
+    If the consumer abandons the generator (an exception mid-preprocess),
+    the stop event unblocks the reader so it exits and closes the file
+    instead of parking forever on a full queue."""
     import queue
     import threading
     q = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def reader():
         try:
             for b in _iter_blocks(path, block_bytes):
-                q.put(b)
-            q.put(None)
+                if not _put(b):
+                    return
+            _put(None)
         except BaseException as e:        # surface IO errors in the consumer
-            q.put(e)
+            _put(e)
 
-    threading.Thread(target=reader, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def _parse_block(data: bytes, titles: str | None = "list"):
@@ -110,6 +129,9 @@ def preprocess_db_streaming(fasta_path: str, out_path: str,
 
     d = out_path + ".oswt"
     os.makedirs(d, exist_ok=True)
+    from oswald_tpu.io import native
+    use_native = native.available() and \
+        not os.environ.get("OSWALD_NO_NATIVE")
 
     # ---- pass 1 (the ONLY read of the FASTA): parse blocks -> lengths,
     # title bytes (spilled to a temp file), encoded residues (spilled to a
@@ -145,9 +167,6 @@ def preprocess_db_streaming(fasta_path: str, out_path: str,
     # format) + end-offset index, gathered chunk-wise (bounded memory;
     # native OpenMP span-copy, numpy scatter fallback — the original
     # per-title Python loop dominated pass 1)
-    from oswald_tpu.io import native
-    use_native = native.available() and \
-        not os.environ.get("OSWALD_NO_NATIVE")
     sorted_offs = np.zeros(n + 1, np.int64)
     with open(tmp_titles, "rb") as tf:
         tbuf = np.memmap(tf, dtype=np.uint8, mode="r") if n else \
@@ -219,9 +238,6 @@ def preprocess_db_streaming(fasta_path: str, out_path: str,
     starts_file = np.concatenate([[0], np.cumsum(lengths)])
     staging = np.memmap(tmp_resid, dtype=np.int8, mode="r") \
         if starts_file[-1] else np.zeros(0, np.int8)
-    from oswald_tpu.io import native
-    use_native = native.available() and \
-        not os.environ.get("OSWALD_NO_NATIVE")
     for L, gs in bins.items():
         Gb = len(gs)
         g0 = gs[0]
