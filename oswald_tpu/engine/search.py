@@ -80,10 +80,14 @@ class SearchConfig:
     # host->device slice (rounded to whole group_block multiples per bin).
     host_stream_slice_mb: int = 256
     # One jitted program per search (bins + top-k) instead of one dispatch
-    # per bin.  Measured slower on v5e (async multi-dispatch pipelines the
-    # per-call overhead under compute), so off by default.  Single-chip
-    # SearchEngine only; DistributedSearchEngine always dispatches per bin.
-    fused_dispatch: bool = False
+    # per bin.  None = auto: fused for short queries (m_pad <= 128, where
+    # per-bin dispatch overhead dominates the small scans; measured v5e
+    # with the flat-profile layout: qlen 64 59.6 -> 69.1 GCUPS, qlen 512
+    # parity 227 vs 229), per-bin async otherwise, never in interpret
+    # mode (one giant traced program is much slower to build on CPU).
+    # Single-chip SearchEngine only; DistributedSearchEngine always
+    # dispatches per bin.
+    fused_dispatch: bool | None = None
 
     def __post_init__(self):
         u = self.u_rows
@@ -642,15 +646,21 @@ class SearchEngine:
             scores = self._host_stream_scores(
                 jnp.asarray(self._pad_query(query))[None])[0]
             top_scores, top_slots = _host_topk(scores, self.ids_flat, k)
-        elif self.config.fused_dispatch:
-            q_pad = jnp.asarray(self._pad_query(query))
-            stacks = (self.prof_flat, self.tail_flat) if \
-                self.mode == "precompute" else self.seq_stacks
-            top_scores, top_slots = self._search_fn(k)(
-                q_pad, self.gaps, self.submat_dev, stacks, self.valid)
         else:
-            scores = self.score_all(query)
-            top_scores, top_slots = _topk(scores, self.valid, k)
+            q_pad_np = self._pad_query(query)
+            fused = self.config.fused_dispatch
+            if fused is None:       # auto: see SearchConfig.fused_dispatch
+                fused = (self.mode == "precompute" and
+                         not self._interpret and q_pad_np.shape[0] <= 128)
+            if fused:
+                q_pad = jnp.asarray(q_pad_np)
+                stacks = (self.prof_flat, self.tail_flat) if \
+                    self.mode == "precompute" else self.seq_stacks
+                top_scores, top_slots = self._search_fn(k)(
+                    q_pad, self.gaps, self.submat_dev, stacks, self.valid)
+            else:
+                scores = self.score_all(query)
+                top_scores, top_slots = _topk(scores, self.valid, k)
         top_scores = np.asarray(top_scores)
         # slots -> sorted-sequence ids (slot order preserves id order, so
         # top_k's lowest-index tie-break is a lowest-id tie-break)

@@ -177,3 +177,17 @@ def test_engine_warmup(rng):
     m_pads = eng.warmup(max_query_len=200)
     assert m_pads == sorted(set(m_pads))
     assert m_pads[-1] >= 200
+
+
+def test_fused_dispatch_matches_per_bin(rng):
+    """fused_dispatch=True (one program: every bin + top-k) must match the
+    per-bin async path exactly — it is auto-selected for short queries on
+    TPU."""
+    db, seqs, lengths = _make_db(rng, 900, 150, bin_cost=1)
+    q = random_protein(rng, 33)
+    base = SearchEngine(db, SearchConfig(top=9, fused_dispatch=False))
+    fused = SearchEngine(db, SearchConfig(top=9, fused_dispatch=True))
+    r1, r2 = base.search(q), fused.search(q)
+    np.testing.assert_array_equal(r1.scores, r2.scores)
+    np.testing.assert_array_equal(r1.seq_ids, r2.seq_ids)
+    assert r1.titles == r2.titles

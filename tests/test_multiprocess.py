@@ -80,3 +80,17 @@ def test_two_process_mesh_matches_single_chip(tmp_path):
     assert results[0]["q1_ids"] == np.asarray(r1.seq_ids).tolist()
     assert results[0]["q2_scores"] == r2.scores.tolist()
     assert results[0]["q2_ids"] == np.asarray(r2.seq_ids).tolist()
+
+
+def test_bootstrap_noarg_single_process_noop():
+    """The auto-discovery path must not crash when the XLA backend is
+    already initialized and no cluster environment exists — it falls back
+    to single-process (regression: probing jax.default_backend() before
+    jax.distributed.initialize() made the no-arg path raise on real TPU
+    hosts)."""
+    import jax
+    from oswald_tpu.dist import bootstrap, is_bootstrapped
+    jax.devices()                     # force backend init, like a real app
+    pid, count = bootstrap()          # no cluster env -> stays local
+    assert (pid, count) == (0, 1)
+    assert not is_bootstrapped()      # nothing to tear down
