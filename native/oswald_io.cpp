@@ -482,9 +482,143 @@ void oswald_pack_groups_sl(const int8_t* seqs, const int64_t* starts,
   }
 }
 
+// ---- two-walk plan/execute FASTA pipeline ----
+//
+// parse_fasta_bytes previously walked the input FOUR times per block
+// (count_mt's scan, encode's scan, the title-byte pre-pass, the main
+// encode).  plan() folds the first three into ONE parallel walk whose
+// per-chunk prefix tables are handed back to execute() (the main walk) —
+// 2 walks total, halving the scan cost of the streaming preprocess.
+
+int oswald_fasta_num_chunks(int64_t n) { return num_chunks(n); }
+
+// One parallel walk.  Arrays cb/rec_base/w_base/t_base: int64[nt+1],
+// caller-allocated with nt = oswald_fasta_num_chunks(n).  Returns the
+// record count; *seq_bytes = exact residues execute() will write,
+// *title_bytes = exact title stream bytes ("title\n" per record).
+int64_t oswald_fasta_plan(const uint8_t* buf, int64_t n, int nt,
+                          int64_t* cb_out, int64_t* rec_base,
+                          int64_t* w_base, int64_t* t_base,
+                          int64_t* seq_bytes, int64_t* title_bytes) {
+  std::vector<int64_t> cb;
+  chunk_bounds(buf, n, nt, &cb);
+  for (int t = 0; t <= nt; ++t) cb_out[t] = cb[t];
+  std::vector<ChunkMeta> meta(nt);
+  std::vector<int64_t> tcount(nt, 0);
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+  for (int t = 0; t < nt; ++t) {
+    // scan_chunk + title-byte count fused into one pass over the chunk
+    int64_t recs = 0, r_pre = 0, r_post = 0, tbytes = 0;
+    int64_t h_start = 0, h_end = 0;
+    bool at_ls = true, in_hdr = false, seen = false;
+    for (int64_t i = cb[t]; i < cb[t + 1]; ++i) {
+      uint8_t c = buf[i];
+      if (at_ls) {
+        if (in_hdr) tbytes += (h_end - h_start) + 1;  // flushed on '\n'
+        in_hdr = (c == '>');
+        if (in_hdr) {
+          ++recs;
+          seen = true;
+          h_start = i + 1;
+          h_end = i + 1;
+        }
+        at_ls = false;
+      }
+      if (c == '\n') {
+        at_ls = true;
+        continue;
+      }
+      if (in_hdr) {
+        if (c != '\r') h_end = i + 1;
+      } else if (!kLut.skip[c]) {
+        if (seen) ++r_post;
+        else ++r_pre;
+      }
+    }
+    if (in_hdr) tbytes += (h_end - h_start) + 1;
+    meta[t].recs = recs;
+    meta[t].r_pre = r_pre;
+    meta[t].r_post = r_post;
+    tcount[t] = tbytes;
+  }
+  rec_base[0] = w_base[0] = t_base[0] = 0;
+  for (int t = 0; t < nt; ++t) {
+    rec_base[t + 1] = rec_base[t] + meta[t].recs;
+    int64_t resid = meta[t].r_post + (rec_base[t] > 0 ? meta[t].r_pre : 0);
+    w_base[t + 1] = w_base[t] + resid;
+    t_base[t + 1] = t_base[t] + tcount[t];
+  }
+  *seq_bytes = w_base[nt];
+  *title_bytes = t_base[nt];
+  return rec_base[nt];
+}
+
+// The main walk, driven by plan()'s tables.  Identical output semantics to
+// oswald_fasta_encode_titles_mt.  Returns residues written (w_base[nt]).
+int64_t oswald_fasta_execute(const uint8_t* buf, int64_t n, int nt,
+                             const int64_t* cb, const int64_t* rec_base,
+                             const int64_t* w_base, const int64_t* t_base,
+                             int8_t* seq_out, int64_t* lengths_out,
+                             int64_t* hdr_starts, int64_t* hdr_ends,
+                             uint8_t* titles_out) {
+  (void)n;
+  std::vector<int64_t> carry_len(nt, 0);
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+  for (int t = 0; t < nt; ++t) {
+    int64_t rec = rec_base[t] - 1;
+    int64_t w = w_base[t], tw = t_base[t], clen = 0;
+    bool at_ls = true, in_hdr = false;
+    for (int64_t i = cb[t]; i < cb[t + 1]; ++i) {
+      uint8_t c = buf[i];
+      if (at_ls) {
+        if (in_hdr) {  // flush previous header's title + separator
+          int64_t hl = hdr_ends[rec] - hdr_starts[rec];
+          std::memcpy(titles_out + tw, buf + hdr_starts[rec], (size_t)hl);
+          tw += hl;
+          titles_out[tw++] = '\n';
+        }
+        in_hdr = (c == '>');
+        if (in_hdr) {
+          ++rec;
+          lengths_out[rec] = 0;
+          hdr_starts[rec] = i + 1;
+          hdr_ends[rec] = i + 1;
+        }
+        at_ls = false;
+      }
+      if (c == '\n') {
+        at_ls = true;  // in_hdr survives to the line start for the flush
+        continue;
+      }
+      if (in_hdr) {
+        if (c != '\r') hdr_ends[rec] = i + 1;
+      } else if (rec >= 0 && !kLut.skip[c]) {
+        seq_out[w++] = kLut.m[c];
+        if (rec >= rec_base[t]) ++lengths_out[rec];
+        else ++clen;
+      }
+    }
+    if (in_hdr) {  // header line is the chunk's last line
+      int64_t hl = hdr_ends[rec] - hdr_starts[rec];
+      std::memcpy(titles_out + tw, buf + hdr_starts[rec], (size_t)hl);
+      tw += hl;
+      titles_out[tw++] = '\n';
+    }
+    carry_len[t] = clen;
+  }
+  for (int t = 0; t < nt; ++t)
+    if (rec_base[t] > 0 && carry_len[t])
+      lengths_out[rec_base[t] - 1] += carry_len[t];
+  return w_base[nt];
+}
+
 // ABI version; oswald_tpu.io.native refuses to use a library whose version
 // does not match its expectation (a stale build from an older checkout
 // could otherwise silently diverge from this source).
-int oswald_io_version() { return 4; }
+int oswald_io_version() { return 5; }
 
 }  // extern "C"

@@ -24,7 +24,7 @@ _LIB_PATHS = [
 # must match oswald_io_version() in native/oswald_io.cpp; a stale build from
 # an older checkout is rejected (falls back to numpy) instead of silently
 # diverging
-_EXPECTED_VERSION = 4
+_EXPECTED_VERSION = 5
 
 _lib = None
 _build_attempted = False
@@ -101,6 +101,16 @@ def _scan_paths():
             lib.oswald_gather_spans.restype = None
             lib.oswald_gather_spans.argtypes = [
                 c_u8p, c_i64p, c_i64p, c_i64p, ctypes.c_int64, c_u8p]
+            lib.oswald_fasta_num_chunks.restype = ctypes.c_int
+            lib.oswald_fasta_num_chunks.argtypes = [ctypes.c_int64]
+            lib.oswald_fasta_plan.restype = ctypes.c_int64
+            lib.oswald_fasta_plan.argtypes = [
+                c_u8p, ctypes.c_int64, ctypes.c_int, c_i64p, c_i64p,
+                c_i64p, c_i64p, c_i64p, c_i64p]
+            lib.oswald_fasta_execute.restype = ctypes.c_int64
+            lib.oswald_fasta_execute.argtypes = [
+                c_u8p, ctypes.c_int64, ctypes.c_int, c_i64p, c_i64p,
+                c_i64p, c_i64p, c_i8p, c_i64p, c_i64p, c_i64p, c_u8p]
             lib.oswald_io_version.restype = ctypes.c_int
             return lib
     return None
@@ -114,56 +124,121 @@ def _ptr(a, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 
 
-def parse_fasta_bytes(data: bytes, titles: str | None = "list"):
+def _ws_array(ws, key, size, dtype, zero=False):
+    """Persistent workspace array: grown (never shrunk) across calls.
+    Fresh numpy allocations of block-scale buffers cost more in first-touch
+    page faults than the C scan itself (numpy madvises MADV_HUGEPAGE and
+    defrag=madvise kernels compact synchronously — see utils/hostmem.py),
+    so the streaming preprocess passes one `workspace` dict through every
+    block and buffers are allocated NOHUGEPAGE."""
+    from oswald_tpu.utils.hostmem import alloc_nohuge
+    a = ws.get(key) if ws is not None else None
+    if a is None or a.size < size:
+        a = alloc_nohuge(size, dtype)
+        if ws is not None:
+            ws[key] = a
+    if zero:
+        a[:size] = 0
+    return a
+
+
+def parse_fasta_bytes(data: bytes, titles: str | None = "list",
+                      workspace: dict | None = None,
+                      seq_alloc=None, titles_alloc=None):
     """Native single-pass FASTA parse; same contract as
     oswald_tpu.io.fasta.parse_fasta_bytes (including its ValueErrors for
     non-FASTA input — the C scanner itself skips malformed content, so the
     validation lives here).  titles: "list" (list[str]), "bytes"
     ((joined_bytes, lens) with one b"\\n" after each title, no Python
-    per-record loop), or None (skip title work)."""
+    per-record loop), or None (skip title work).
+
+    workspace: optional dict reused across calls; returned arrays are then
+    VIEWS into workspace buffers, invalidated by the next call — copy what
+    must survive.
+
+    seq_alloc / titles_alloc: optional `(nbytes) -> uint8/int8 view | None`
+    callbacks; when one returns a view the C walk writes that output
+    DIRECTLY into it (a staging arena — see io/stream._Staging) and the
+    returned array is a slice of it; on None the workspace buffer is
+    used."""
     lib = _load()
     assert lib is not None, "native IO library not built (make -C native)"
-    if data:
+    if isinstance(data, np.ndarray):
+        buf = data.view(np.uint8).reshape(-1)
+    else:
+        buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.size:
         # match the numpy reference exactly: the first line must be a
         # header, and at least one header must exist
-        nl = data.find(b"\n")
-        first_line = data if nl < 0 else data[:nl]
-        if not first_line.startswith(b">"):
-            if b"\n>" not in data:
+        if buf[0] != 0x3E:                            # b">"
+            # error path only — fine to materialise bytes here
+            blob = buf.tobytes()
+            if b"\n>" not in blob:
                 raise ValueError(
                     "not a FASTA file: no '>' header lines found")
             raise ValueError("FASTA content before first '>' header")
-    buf = np.frombuffer(data, dtype=np.uint8)
     n = np.int64(buf.size)
+    if titles == "bytes":
+        # two-walk plan/execute pipeline: ONE parallel pre-walk sizes
+        # everything (records, residues, title bytes), ONE main walk emits
+        # residues AND the spill-ready "title\n" stream
+        nt = lib.oswald_fasta_num_chunks(n)
+        cb = _ws_array(workspace, "cb", nt + 1, np.int64)
+        rec_base = _ws_array(workspace, "rec_base", nt + 1, np.int64)
+        w_base = _ws_array(workspace, "w_base", nt + 1, np.int64)
+        t_base = _ws_array(workspace, "t_base", nt + 1, np.int64)
+        sb = ctypes.c_int64(0)
+        tb = ctypes.c_int64(0)
+        nrec = lib.oswald_fasta_plan(
+            _ptr(buf, ctypes.c_uint8), n, nt, _ptr(cb, ctypes.c_int64),
+            _ptr(rec_base, ctypes.c_int64), _ptr(w_base, ctypes.c_int64),
+            _ptr(t_base, ctypes.c_int64), ctypes.byref(sb),
+            ctypes.byref(tb))
+        seq = seq_alloc(max(sb.value, 1)) if seq_alloc is not None else None
+        seq = seq.view(np.int8) if seq is not None else \
+            _ws_array(workspace, "seq", max(sb.value, 1), np.int8)
+        touts = titles_alloc(max(tb.value, 1)) \
+            if titles_alloc is not None else None
+        if touts is None:
+            touts = _ws_array(workspace, "touts", max(tb.value, 1),
+                              np.uint8)
+        lengths = _ws_array(workspace, "lengths", max(nrec, 1), np.int64,
+                            zero=True)
+        hs = _ws_array(workspace, "hs", max(nrec, 1), np.int64, zero=True)
+        he = _ws_array(workspace, "he", max(nrec, 1), np.int64, zero=True)
+        wrote = lib.oswald_fasta_execute(
+            _ptr(buf, ctypes.c_uint8), n, nt, _ptr(cb, ctypes.c_int64),
+            _ptr(rec_base, ctypes.c_int64), _ptr(w_base, ctypes.c_int64),
+            _ptr(t_base, ctypes.c_int64), _ptr(seq, ctypes.c_int8),
+            _ptr(lengths, ctypes.c_int64), _ptr(hs, ctypes.c_int64),
+            _ptr(he, ctypes.c_int64), _ptr(touts, ctypes.c_uint8))
+        tw = tb
+        out_titles = (touts[:tw.value] if workspace is not None else
+                      touts[:tw.value].tobytes(), he[:nrec] - hs[:nrec])
+        return out_titles, seq[:wrote], lengths[:nrec]
     ub = ctypes.c_int64(0)
     nrec = lib.oswald_fasta_count_mt(_ptr(buf, ctypes.c_uint8), n,
                                      ctypes.byref(ub))
-    seq = np.empty(max(ub.value, 1), np.int8)
-    lengths = np.zeros(max(nrec, 1), np.int64)
-    hs = np.zeros(max(nrec, 1), np.int64)
-    he = np.zeros(max(nrec, 1), np.int64)
-    if titles == "bytes":
-        # one C walk emits residues AND the spill-ready "title\n" stream
-        touts = np.empty(max(int(n), 1), np.uint8)
-        tw = ctypes.c_int64(0)
-        wrote = lib.oswald_fasta_encode_titles_mt(
-            _ptr(buf, ctypes.c_uint8), n, _ptr(seq, ctypes.c_int8),
-            _ptr(lengths, ctypes.c_int64), _ptr(hs, ctypes.c_int64),
-            _ptr(he, ctypes.c_int64), _ptr(touts, ctypes.c_uint8),
-            ctypes.byref(tw))
-        out_titles = (touts[:tw.value].tobytes(), he[:nrec] - hs[:nrec])
+    seq = seq_alloc(max(ub.value, 1)) if seq_alloc is not None else None
+    if seq is not None:
+        seq = seq.view(np.int8)
     else:
-        wrote = lib.oswald_fasta_encode_mt(
-            _ptr(buf, ctypes.c_uint8), n, _ptr(seq, ctypes.c_int8),
-            _ptr(lengths, ctypes.c_int64), _ptr(hs, ctypes.c_int64),
-            _ptr(he, ctypes.c_int64))
-        if titles == "list":
-            hs, he = hs[:nrec], he[:nrec]
-            out_titles = [data[hs[i]:he[i]].decode("utf-8",
-                                                   errors="replace")
-                          for i in range(nrec)]
-        else:
-            out_titles = None
+        seq = _ws_array(workspace, "seq", max(ub.value, 1), np.int8)
+    lengths = _ws_array(workspace, "lengths", max(nrec, 1), np.int64,
+                        zero=True)
+    hs = _ws_array(workspace, "hs", max(nrec, 1), np.int64, zero=True)
+    he = _ws_array(workspace, "he", max(nrec, 1), np.int64, zero=True)
+    wrote = lib.oswald_fasta_encode_mt(
+        _ptr(buf, ctypes.c_uint8), n, _ptr(seq, ctypes.c_int8),
+        _ptr(lengths, ctypes.c_int64), _ptr(hs, ctypes.c_int64),
+        _ptr(he, ctypes.c_int64))
+    if titles == "list":
+        hs, he = hs[:nrec], he[:nrec]
+        out_titles = [bytes(buf[hs[i]:he[i]]).decode("utf-8",
+                                                     errors="replace")
+                      for i in range(nrec)]
+    else:
+        out_titles = None
     return out_titles, seq[:wrote], lengths[:nrec]
 
 
