@@ -41,7 +41,8 @@ from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
 from oswald_tpu.kernels import build_profile, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_stream_impl,
-    _search_bin_flat_impl, _search_bin_flat_batch_impl, pad_query,
+    _search_bin_flat_impl, _search_bin_flat_batch_impl,
+    _search_bin_hostslice_impl, pad_query,
 )
 from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics
@@ -169,19 +170,21 @@ class DistributedSearchEngine:
             if jax.process_index() == 0:
                 print(f"oswald-tpu dist engine [{self.ndev} devices]: "
                       f"{plan.describe()}", file=sys.stderr)
-        if self.mode == "host_stream":
-            raise NotImplementedError(
-                "host_stream is single-chip only for now: the database "
-                "exceeds the aggregate HBM budget of this mesh — add "
-                "devices, or search with the single-chip SearchEngine "
-                "(profile_mode='host_stream'), which streams the database "
-                "from host memory")
-
         self.metrics = Metrics()
         t_setup = time.perf_counter()
         self.seq_stacks = {}
         self.ids = {}
         self._bin_fns = {}
+        if self.mode == "host_stream":
+            # database larger than the mesh's aggregate HBM budget: groups
+            # stay host-side (mmap) and stream through the mesh in
+            # device-major slices, double-buffered under compute (the
+            # multi-device analog of the single-chip host_stream and of
+            # the reference's per-chunk clEnqueueWriteBuffer round,
+            # /root/reference/host/src/FPGAsearch.c:180-237)
+            self._init_host_stream()
+            self.metrics.add("engine_setup", time.perf_counter() - t_setup)
+            return
         # precompute mode: ONE device-sharded flat chunk array for the
         # whole database (+ one for 64-wide tails), gathered into profiles
         # by a single compiled sharded program — the same
@@ -287,6 +290,135 @@ class DistributedSearchEngine:
                 self.tail_flat = build(tail_sharded, self.submat_dev)
         self.metrics.add("engine_setup", time.perf_counter() - t_setup)
 
+    def _init_host_stream(self):
+        """Cut every bin into mesh-wide group slices for streaming.
+
+        A slice is `S` consecutive groups of one bin (S a multiple of
+        ndev * group_block so it shards evenly and every shard's group
+        count stays a group_block multiple); the packed residues stay in
+        the mmap-backed storage arrays and only slice-sized windows ever
+        occupy host RAM or HBM.  Per search the slices are transferred
+        device-sharded and double-buffered under compute
+        (_host_stream_candidates)."""
+        self._hs_slices = []        # (L, lo, Gs_glob) in bin order
+        self._hs_ids = {}
+        quanta = self.ndev * self.config.group_block
+        for L in self.db.bin_lengths:
+            seq_np = self.db.bins[L]["seq"]        # keep mmap, no asarray
+            self._hs_ids[L] = np.asarray(self.db.bins[L]["id"])
+            G = seq_np.shape[0]
+            per_group = L * SUBLANES * LANES
+            S = max(quanta, (self.config.host_stream_slice_mb << 20)
+                    // per_group // quanta * quanta)
+            for lo in range(0, G, S):
+                Gs = min(S, -(-(G - lo) // quanta) * quanta)
+                self._hs_slices.append((L, lo, Gs))
+
+    def _hs_transfer(self, L: int, lo: int, Gs: int):
+        """Enqueue one slice's host->device transfer; returns the sharded
+        (residues, ids) Arrays.
+
+        Multi-process SPMD: each process device_puts only its own devices'
+        contiguous group range (a view of the mmap when no padding is
+        needed), so a pod host's RAM traffic is its shard of the slice."""
+        seq_np = self.db.bins[L]["seq"]
+        ids_np = self._hs_ids[L]
+        G_real = seq_np.shape[0]
+        p_lo, p_hi = process_group_slice(Gs, self.mesh)
+        rows = p_hi - p_lo
+        a_lo = lo + p_lo
+        take = max(0, min(lo + p_hi, G_real) - a_lo)
+        if take == rows:
+            arr = seq_np[a_lo:a_lo + rows]
+            ids_loc = ids_np[a_lo:a_lo + rows]
+        else:                       # final slice: pad to the quanta multiple
+            arr = np.full((rows, L, SUBLANES, LANES), DUMMY, np.int8)
+            ids_loc = np.full((rows, SUBLANES, LANES), -1, np.int32)
+            if take > 0:
+                arr[:take] = seq_np[a_lo:a_lo + take]
+                ids_loc[:take] = ids_np[a_lo:a_lo + take]
+        seq_dev = _put_local(self.mesh, P(AXIS), arr,
+                             (Gs, L, SUBLANES, LANES))
+        ids_dev = _put_local(self.mesh, P(AXIS), ids_loc,
+                             (Gs, SUBLANES, LANES))
+        return seq_dev, ids_dev
+
+    def _hostslice_fn(self, L: int, Gs: int, k: int):
+        """Compiled shard_map for one streamed slice shape: (q_batch, gaps,
+        submat, seq_slice, ids) -> (scores[Q, kk], ids[Q, kk]) replicated
+        slice-local top-k candidates."""
+        key = ("hs", L, Gs, k)
+        if key in self._bin_fns:
+            return self._bin_fns[key]
+        u_rows, interpret = self.config.u_rows, self._interpret
+        gb, acc, cu = (self.config.group_block, self._acc,
+                       self.config.col_unroll)
+
+        def local_fn(q_batch, gaps, submat, seq_slice, ids):
+            scores = _search_bin_hostslice_impl(
+                q_batch, gaps, submat, seq_slice, u_rows, interpret, gb,
+                acc, cu)
+            Q = q_batch.shape[0]
+            flat = scores.reshape(Q, -1)
+            idsf = ids.reshape(-1)
+            masked = jnp.where(idsf[None] >= 0, flat, -1)
+            kk = min(k, flat.shape[1])
+            loc_s, loc_i = jax.lax.top_k(masked, kk)
+            loc_ids = jnp.take(idsf, loc_i)
+            all_s = jax.lax.all_gather(loc_s, AXIS, axis=1, tiled=True)
+            all_ids = jax.lax.all_gather(loc_ids, AXIS, axis=1, tiled=True)
+            top_s, top_i = jax.lax.top_k(all_s, min(k, all_s.shape[1]))
+            return top_s, jnp.take_along_axis(all_ids, top_i, axis=1)
+
+        fn = jax.jit(jax.shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(AXIS), P(AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False))
+        self._bin_fns[key] = fn
+        return fn
+
+    def _host_stream_candidates(self, qb, k: int):
+        """[Q, ncand] (scores, ids) candidate arrays from one streaming
+        sweep of the database, double-buffered: slice i+1's sharded
+        transfer is enqueued before slice i's compute dispatch, and the
+        host blocks only on slice i-1's (k-sized) candidate readback — at
+        most two slices plus one program's scan state occupy HBM at any
+        point, regardless of database size (the reference's bounded
+        per-chunk clEnqueueWriteBuffer round, FPGAsearch.c:180-237)."""
+        Q = qb.shape[0]
+        cand_s, cand_i = [], []
+        pending = None
+        nxt = self._hs_transfer(*self._hs_slices[0]) if self._hs_slices \
+            else None
+        for i, (L, lo, Gs) in enumerate(self._hs_slices):
+            dev = nxt
+            nxt = self._hs_transfer(*self._hs_slices[i + 1]) \
+                if i + 1 < len(self._hs_slices) else None
+            s, ids = self._hostslice_fn(L, Gs, k)(
+                qb, self.gaps, self.submat_dev, dev[0], dev[1])
+            if pending is not None:
+                # blocking readback of slice i-1: the backpressure that
+                # bounds in-flight slices (and frees their HBM)
+                cand_s.append(np.asarray(pending[0]))
+                cand_i.append(np.asarray(pending[1]))
+            pending = (s, ids)
+        if pending is not None:
+            cand_s.append(np.asarray(pending[0]))
+            cand_i.append(np.asarray(pending[1]))
+        if not cand_s:
+            return (np.zeros((Q, 0), np.int32), np.zeros((Q, 0), np.int32))
+        return np.concatenate(cand_s, axis=1), np.concatenate(cand_i, axis=1)
+
+    def _merge_candidates(self, scores, ids, k: int):
+        """Deterministic host merge of one query's candidate union: score
+        descending, id ascending on ties (identical to the device-side
+        lax.top_k tie-break over slot-ordered scores)."""
+        valid = ids >= 0
+        scores, ids = scores[valid], ids[valid]
+        order = np.lexsort((ids, -scores))[:k]
+        return scores[order], ids[order]
+
     def _bin_fn(self, L: int, k: int):
         """Compiled per-bin shard_map: (q, gaps, data, ids) -> (scores[k],
         ids[k]) replicated."""
@@ -345,25 +477,27 @@ class DistributedSearchEngine:
         t0 = time.perf_counter()
         q_pad = jnp.asarray(self._pad_query(query))
         k = min(self.config.top, max(self.db.n_seqs, 1))
-        cand_s, cand_i = [], []
-        for L in self.db.bin_lengths:
-            data = (self.prof_flat, self.tail_flat) if \
-                self.mode == "precompute" else \
-                self.seq_stacks[L]
-            s, i = self._bin_fn(L, k)(q_pad, self.gaps, self.submat_dev,
-                                      data, self.ids[L])
-            cand_s.append(s)            # stay on device: all bins dispatch
-            cand_i.append(i)            # before the host blocks on any
-        cand_s = [np.asarray(s) for s in cand_s]
-        cand_i = [np.asarray(i) for i in cand_i]
-        scores = np.concatenate(cand_s) if cand_s else np.zeros(0, np.int32)
-        ids = np.concatenate(cand_i) if cand_i else np.zeros(0, np.int32)
-        valid = ids >= 0
-        scores, ids = scores[valid], ids[valid]
-        # deterministic merge: score descending, id ascending on ties —
-        # identical to a global top_k over the slot-ordered flat scores
-        order = np.lexsort((ids, -scores))[:k]
-        scores, ids = scores[order], ids[order]
+        if self.mode == "host_stream":
+            cs, ci = self._host_stream_candidates(q_pad[None], k)
+            scores, ids = self._merge_candidates(cs[0], ci[0], k)
+        else:
+            cand_s, cand_i = [], []
+            for L in self.db.bin_lengths:
+                data = (self.prof_flat, self.tail_flat) if \
+                    self.mode == "precompute" else \
+                    self.seq_stacks[L]
+                s, i = self._bin_fn(L, k)(q_pad, self.gaps, self.submat_dev,
+                                          data, self.ids[L])
+                cand_s.append(s)        # stay on device: all bins dispatch
+                cand_i.append(i)        # before the host blocks on any
+            cand_s = [np.asarray(s) for s in cand_s]
+            cand_i = [np.asarray(i) for i in cand_i]
+            scores = np.concatenate(cand_s) if cand_s else \
+                np.zeros(0, np.int32)
+            ids = np.concatenate(cand_i) if cand_i else np.zeros(0, np.int32)
+            # deterministic merge: score descending, id ascending on ties —
+            # identical to a global top_k over the slot-ordered flat scores
+            scores, ids = self._merge_candidates(scores, ids, k)
         elapsed = time.perf_counter() - t0
         self.metrics.add("search", elapsed)
         titles = [self.db.title_of(int(i)) for i in ids]
@@ -415,8 +549,7 @@ class DistributedSearchEngine:
         queries run as one shard_map program per bin (see
         SearchEngine.search_many)."""
         titles = titles or [f"query{i}" for i in range(len(queries))]
-        if not batch or len(queries) <= 1 or \
-                self.mode != "precompute":
+        if not batch or len(queries) <= 1 or self.mode == "stream":
             return [self.search(q, t) for q, t in zip(queries, titles)]
 
         t0 = time.perf_counter()
@@ -433,6 +566,14 @@ class DistributedSearchEngine:
         pending = []
         for m_pad, idxs in by_len.items():
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
+            if self.mode == "host_stream":
+                # one streaming sweep of the database scores the whole
+                # same-length batch (transfer cost amortised over queries);
+                # the sweep's readback loop is its own backpressure, so
+                # these candidates are already host-side
+                cs, ci = self._host_stream_candidates(qb, k)
+                pending.append((idxs, [cs], [ci]))
+                continue
             cand_s, cand_i = [], []
             for L in self.db.bin_lengths:
                 data = (self.prof_flat, self.tail_flat)
@@ -450,11 +591,7 @@ class DistributedSearchEngine:
             ids = np.concatenate(cand_i, axis=1) if cand_i else \
                 np.zeros((len(idxs), 0), np.int32)
             for row, qi in enumerate(idxs):
-                srow, irow = scores[row], ids[row]
-                valid = irow >= 0
-                srow, irow = srow[valid], irow[valid]
-                order = np.lexsort((irow, -srow))[:k]
-                srow, irow = srow[order], irow[order]
+                srow, irow = self._merge_candidates(scores[row], ids[row], k)
                 results[qi] = SearchResult(
                     query_title=titles[qi],
                     query_length=int(np.asarray(queries[qi]).size),

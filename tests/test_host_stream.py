@@ -8,7 +8,6 @@ planner-selected) on small databases via artificial HBM budgets.
 """
 
 import numpy as np
-import pytest
 
 from oswald_tpu.io import pack_sequences
 from oswald_tpu.io.db import save_db, load_db
@@ -131,9 +130,53 @@ def test_auto_mode_resolves_and_searches(rng, capsys):
     np.testing.assert_array_equal(eng.search(q).scores, ref.search(q).scores)
 
 
-def test_dist_auto_raises_on_host_stream(rng):
+def test_dist_host_stream_matches_single_chip(rng):
+    """Distributed host_stream on the virtual 8-device mesh: a database
+    that exceeds the mesh's aggregate HBM budget streams through all
+    devices slice by slice and must match the resident-mode results
+    exactly (top-k scores, ids and titles)."""
+    from oswald_tpu.dist import DistributedSearchEngine
+    # many short sequences in one bin: the bin spans several
+    # ndev*group_block slice quanta, so the sweep runs the multi-slice
+    # double-buffered loop and a padded final slice
+    db = _make_db(rng, 40000, 60)
+    q = random_protein(rng, 77)
+    pre = SearchEngine(db, SearchConfig(top=20, profile_mode="precompute"))
+    dist = DistributedSearchEngine(db, SearchConfig(
+        top=20, profile_mode="host_stream", host_stream_slice_mb=1))
+    assert len(dist._hs_slices) > len(db.bin_lengths), \
+        "test should exercise multiple slices per bin"
+    r_pre, r_hs = pre.search(q), dist.search(q)
+    np.testing.assert_array_equal(r_pre.scores, r_hs.scores)
+    np.testing.assert_array_equal(r_pre.seq_ids, r_hs.seq_ids)
+    assert r_pre.titles == r_hs.titles
+
+
+def test_dist_host_stream_auto_plan(rng, capsys):
+    """auto + a tiny budget resolves to host_stream on a mesh (it used to
+    raise NotImplementedError) and still searches correctly."""
     from oswald_tpu.dist import DistributedSearchEngine
     db = _make_db(rng, 600, 80)
-    with pytest.raises(NotImplementedError):
-        DistributedSearchEngine(db, SearchConfig(
-            profile_mode="auto", hbm_budget_bytes=1024))
+    eng = DistributedSearchEngine(db, SearchConfig(
+        top=5, profile_mode="auto", hbm_budget_bytes=1024,
+        host_stream_slice_mb=1))
+    assert eng.mode == "host_stream"
+    assert "profile_mode=host_stream" in capsys.readouterr().err
+    ref = SearchEngine(db, SearchConfig(top=5, profile_mode="precompute"))
+    q = random_protein(rng, 25)
+    np.testing.assert_array_equal(eng.search(q).scores, ref.search(q).scores)
+
+
+def test_dist_host_stream_batch(rng):
+    """Batched host_stream on the mesh: one streaming sweep per padded
+    length, parity with sequential searches."""
+    from oswald_tpu.dist import DistributedSearchEngine
+    db = _make_db(rng, 900, 120)
+    queries = [random_protein(rng, int(l)) for l in (30, 33, 90, 5)]
+    dist = DistributedSearchEngine(db, SearchConfig(
+        top=7, profile_mode="host_stream", host_stream_slice_mb=1))
+    batched = dist.search_many(queries, batch=True)
+    seq_res = dist.search_many(queries, batch=False)
+    for rb, rs in zip(batched, seq_res):
+        np.testing.assert_array_equal(rb.scores, rs.scores)
+        np.testing.assert_array_equal(rb.seq_ids, rs.seq_ids)
