@@ -38,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from oswald_tpu.alphabet import DUMMY
 from oswald_tpu.submat import get_submat
 from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
-from oswald_tpu.kernels import build_profile, CHUNK_WIDTH
+from oswald_tpu.kernels import build_profile, noadj_ok, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_stream_impl,
     _search_bin_flat_impl, _search_bin_flat_batch_impl,
@@ -155,6 +155,9 @@ class DistributedSearchEngine:
         self.submat = get_submat(self.config.matrix)
         self._interpret = self.config.resolved_interpret()
         self._acc = self.config.resolved_acc_dtype()
+        # relaxed E-update (one fewer op/cell) when exact for this
+        # matrix/gap config — see kernels.noadj_ok
+        self._noadj = noadj_ok(self.submat, self.config.extend_gap)
         self.gaps = jnp.asarray(
             [self.config.open_gap, self.config.extend_gap], jnp.int32)
         self.submat_dev = jax.device_put(
@@ -351,13 +354,13 @@ class DistributedSearchEngine:
         if key in self._bin_fns:
             return self._bin_fns[key]
         u_rows, interpret = self.config.u_rows, self._interpret
-        gb, acc, cu = (self.config.group_block, self._acc,
-                       self.config.col_unroll)
+        gb, acc, cu, na = (self.config.group_block, self._acc,
+                           self.config.col_unroll, self._noadj)
 
         def local_fn(q_batch, gaps, submat, seq_slice, ids):
             scores = _search_bin_hostslice_impl(
                 q_batch, gaps, submat, seq_slice, u_rows, interpret, gb,
-                acc, cu)
+                acc, cu, na)
             Q = q_batch.shape[0]
             flat = scores.reshape(Q, -1)
             idsf = ids.reshape(-1)
@@ -426,8 +429,8 @@ class DistributedSearchEngine:
         if key in self._bin_fns:
             return self._bin_fns[key]
         u_rows, interpret = self.config.u_rows, self._interpret
-        gb, acc, cu = (self.config.group_block, self._acc,
-                       self.config.col_unroll)
+        gb, acc, cu, na = (self.config.group_block, self._acc,
+                           self.config.col_unroll, self._noadj)
         precompute = self.mode == "precompute"
         geom = self.bin_geom.get(L)
 
@@ -437,12 +440,12 @@ class DistributedSearchEngine:
                 off, C, G_loc, toff = geom
                 scores = _search_bin_flat_impl(
                     q_pad, gaps, prof_flat, tail_flat, off, C, G_loc,
-                    toff, u_rows, interpret, gb, acc, cu)
+                    toff, u_rows, interpret, gb, acc, cu, na)
             else:
                 main, tail = data
                 scores = _search_bin_stream_impl(q_pad, gaps, submat, main,
                                                  u_rows, interpret, gb, acc,
-                                                 tail, cu)
+                                                 tail, cu, na)
             flat = scores.reshape(-1)
             idsf = ids.reshape(-1)
             masked = jnp.where(idsf >= 0, flat, -1)
@@ -513,8 +516,8 @@ class DistributedSearchEngine:
         if key in self._bin_fns:
             return self._bin_fns[key]
         u_rows, interpret = self.config.u_rows, self._interpret
-        gb, acc, cu = (self.config.group_block, self._acc,
-                       self.config.col_unroll)
+        gb, acc, cu, na = (self.config.group_block, self._acc,
+                           self.config.col_unroll, self._noadj)
         geom = self.bin_geom[L]
 
         def local_fn(q_batch, gaps, submat, data, ids):
@@ -522,7 +525,7 @@ class DistributedSearchEngine:
             off, C, G_loc, toff = geom
             scores = _search_bin_flat_batch_impl(
                 q_batch, gaps, prof_flat, tail_flat, off, C, G_loc, toff,
-                u_rows, interpret, gb, acc, cu)
+                u_rows, interpret, gb, acc, cu, na)
             Q = q_batch.shape[0]
             flat = scores.reshape(Q, -1)
             idsf = ids.reshape(-1)

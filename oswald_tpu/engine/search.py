@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from oswald_tpu.alphabet import DUMMY
 from oswald_tpu.submat import get_submat
 from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
-from oswald_tpu.kernels import sw_chunk, build_profile, CHUNK_WIDTH
+from oswald_tpu.kernels import sw_chunk, build_profile, noadj_ok, CHUNK_WIDTH
 from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics
 
@@ -153,7 +153,7 @@ class SearchResult:
 
 def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
                      group_block=1, acc_dtype=jnp.int32, prof_tail=None,
-                     col_unroll=16):
+                     col_unroll=16, noadj=False):
     """Scan all column chunks of one bin; returns [G, 8, 128] int32 scores.
 
     prof_stack: int8[C, G, 24, POS, 128] precomputed score profiles for the
@@ -183,7 +183,7 @@ def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
                                       group_block=group_block,
                                       acc_dtype=acc_dtype,
                                       interpret=interpret,
-                                      col_unroll=col_unroll)
+                                      col_unroll=col_unroll, noadj=noadj)
         return (colH, colE, scores), None
 
     carry, _ = jax.lax.scan(one_chunk, (colH, colE, scores), prof_stack)
@@ -194,7 +194,7 @@ def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
 
 def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
                             interpret, group_block=1, acc_dtype=jnp.int32,
-                            seq_tail=None, col_unroll=16):
+                            seq_tail=None, col_unroll=16, noadj=False):
     """Like `_search_bin_impl` but builds each chunk's score profile on the
     fly from the packed residues (seq_chunks: int8[C, G, W, 8, 128],
     seq_tail: optional int8[G, W/2, 8, 128]).
@@ -223,7 +223,7 @@ def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
                                       group_block=group_block,
                                       acc_dtype=acc_dtype,
                                       interpret=interpret,
-                                      col_unroll=col_unroll)
+                                      col_unroll=col_unroll, noadj=noadj)
         return (colH, colE, scores), None
 
     carry, _ = jax.lax.scan(one_chunk, (colH, colE, scores), seq_chunks)
@@ -234,7 +234,7 @@ def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
 
 def _search_bin_batch_impl(q_batch, gaps, prof_stack, u_rows, interpret,
                            group_block=1, acc_dtype=jnp.int32,
-                           prof_tail=None, col_unroll=16):
+                           prof_tail=None, col_unroll=16, noadj=False):
     """Scores for a batch of same-padded-length queries against one bin.
 
     q_batch: int32[Q, m_pad].  Returns int32[Q, G, 8, 128].  Queries run
@@ -246,14 +246,15 @@ def _search_bin_batch_impl(q_batch, gaps, prof_stack, u_rows, interpret,
     def one(_, q_pad):
         return None, _search_bin_impl(q_pad, gaps, prof_stack, u_rows,
                                       interpret, group_block, acc_dtype,
-                                      prof_tail, col_unroll)
+                                      prof_tail, col_unroll, noadj)
     _, scores = jax.lax.scan(one, None, q_batch)
     return scores
 
 
 def _search_bin_hostslice_impl(q_batch, gaps, submat, seq_slice, u_rows,
                                interpret, group_block=1,
-                               acc_dtype=jnp.int32, col_unroll=16):
+                               acc_dtype=jnp.int32, col_unroll=16,
+                               noadj=False):
     """Scores for a query batch against one host-streamed group slice.
 
     seq_slice: int8[Gs, L, 8, 128] packed residues as stored on disk — the
@@ -271,14 +272,14 @@ def _search_bin_hostslice_impl(q_batch, gaps, submat, seq_slice, u_rows,
     def one(_, q_pad):
         return None, _search_bin_stream_impl(
             q_pad, gaps, submat, main, u_rows, interpret, group_block,
-            acc_dtype, tail, col_unroll)
+            acc_dtype, tail, col_unroll, noadj)
     _, scores = jax.lax.scan(one, None, q_batch)
     return scores
 
 
 def _search_bin_flat_impl(q_pad, gaps, prof_flat, tail_flat, off, C, G,
                           toff, u_rows, interpret, group_block=1,
-                          acc_dtype=jnp.int32, col_unroll=16):
+                          acc_dtype=jnp.int32, col_unroll=16, noadj=False):
     """Like `_search_bin_impl` but reads this bin's chunk profiles out of
     the ENGINE-WIDE flat profile array.
 
@@ -306,7 +307,7 @@ def _search_bin_flat_impl(q_pad, gaps, prof_flat, tail_flat, off, C, G,
                                       group_block=group_block,
                                       acc_dtype=acc_dtype,
                                       interpret=interpret,
-                                      col_unroll=col_unroll)
+                                      col_unroll=col_unroll, noadj=noadj)
         return (colH, colE, scores)
 
     def body(c, carry):
@@ -328,18 +329,19 @@ def _search_bin_flat_impl(q_pad, gaps, prof_flat, tail_flat, off, C, G,
 def _search_bin_flat_batch_impl(q_batch, gaps, prof_flat, tail_flat, off,
                                 C, G, toff, u_rows, interpret,
                                 group_block=1, acc_dtype=jnp.int32,
-                                col_unroll=16):
+                                col_unroll=16, noadj=False):
     """Query-batch scan over `_search_bin_flat_impl` (see
     `_search_bin_batch_impl` for the amortisation rationale)."""
     def one(_, q_pad):
         return None, _search_bin_flat_impl(
             q_pad, gaps, prof_flat, tail_flat, off, C, G, toff, u_rows,
-            interpret, group_block, acc_dtype, col_unroll)
+            interpret, group_block, acc_dtype, col_unroll, noadj)
     _, scores = jax.lax.scan(one, None, q_batch)
     return scores
 
 
-_STATIC = ("u_rows", "interpret", "group_block", "acc_dtype", "col_unroll")
+_STATIC = ("u_rows", "interpret", "group_block", "acc_dtype", "col_unroll",
+           "noadj")
 # off/toff stay traced (dynamic_slice takes traced starts), so bins that
 # share (C, G) shapes also share one compiled search program
 _FLAT_STATIC = _STATIC + ("C", "G")
@@ -410,6 +412,9 @@ class SearchEngine:
         self.submat = get_submat(self.config.matrix)
         self._interpret = self.config.resolved_interpret()
         self._acc = self.config.resolved_acc_dtype()
+        # relaxed E-update (one fewer op/cell) when exact for this
+        # matrix/gap config — see kernels.noadj_ok
+        self._noadj = noadj_ok(self.submat, self.config.extend_gap)
         self.gaps = jnp.asarray(
             [self.config.open_gap, self.config.extend_gap], jnp.int32)
 
@@ -560,7 +565,7 @@ class SearchEngine:
             s = _search_bin_hostslice(qb, self.gaps, self.submat_dev, dev,
                                       cfg.u_rows, self._interpret,
                                       cfg.group_block, self._acc,
-                                      cfg.col_unroll)
+                                      cfg.col_unroll, self._noadj)
             if pending is not None:
                 # blocking readback of slice i-1's scores: the backpressure
                 # that bounds in-flight slices (and frees their HBM)
@@ -583,6 +588,7 @@ class SearchEngine:
             return self._search_fns[k]
         u, gb, acc, cu = (self.config.u_rows, self.config.group_block,
                           self._acc, self.config.col_unroll)
+        na = self._noadj
         interpret = self._interpret
         precompute = self.mode == "precompute"
         bin_lengths = tuple(self.db.bin_lengths)
@@ -597,12 +603,12 @@ class SearchEngine:
                     off, C, G, toff = bin_geom[L]
                     s = _search_bin_flat_impl(q_pad, gaps, prof_flat,
                                               tail_flat, off, C, G, toff,
-                                              u, interpret, gb, acc, cu)
+                                              u, interpret, gb, acc, cu, na)
                 else:
                     main, tail = stacks[L]
                     s = _search_bin_stream_impl(q_pad, gaps, submat,
                                                 main, u, interpret,
-                                                gb, acc, tail, cu)
+                                                gb, acc, tail, cu, na)
                 outs.append(s.reshape(-1))
             flat = jnp.concatenate(outs) if outs else \
                 jnp.zeros((0,), jnp.int32)
@@ -628,14 +634,16 @@ class SearchEngine:
                                      interpret=self._interpret,
                                      group_block=self.config.group_block,
                                      acc_dtype=self._acc,
-                                     col_unroll=self.config.col_unroll)
+                                     col_unroll=self.config.col_unroll,
+                                     noadj=self._noadj)
             else:
                 main, tail = self.seq_stacks[L]
                 s = _search_bin_stream(q_pad, self.gaps, self.submat_dev,
                                        main, self.config.u_rows,
                                        self._interpret,
                                        self.config.group_block, self._acc,
-                                       tail, self.config.col_unroll)
+                                       tail, self.config.col_unroll,
+                                       noadj=self._noadj)
             outs.append(s.reshape(-1))
         return jnp.concatenate(outs) if outs else jnp.zeros((0,), jnp.int32)
 
@@ -738,7 +746,8 @@ class SearchEngine:
                         interpret=self._interpret,
                         group_block=self.config.group_block,
                         acc_dtype=self._acc,
-                        col_unroll=self.config.col_unroll)
+                        col_unroll=self.config.col_unroll,
+                        noadj=self._noadj)
                     outs.append(s.reshape(len(idxs), -1))
                 flat = jnp.concatenate(outs, axis=1)
                 top_scores, top_slots = jax.vmap(

@@ -81,9 +81,26 @@ def build_profile(db_chunk, submat):
     return prof.transpose(1, 0, 2, 3)
 
 
-def _kernel(u_rows, gb, acc_dtype, col_unroll, q_ref, gaps_ref, prof_ref,
-            colh_ref, colhd_ref, cole_ref, sin_ref, scores_ref, colho_ref,
-            coleo_ref, hrow_ref, fcol_ref):
+def noadj_ok(submat, extend_gap: int) -> bool:
+    """True when the `noadj` E-update is exact for this scoring config.
+
+    The relaxed update opens E from the F-independent candidate `cur'`
+    instead of `cur` (see _kernel), dropping alignments that close a gap in
+    one sequence and immediately open one in the other at the same cell.
+    Replacing such an adjacent-opposite-gap corner with a single diagonal
+    substitution step changes the path score by s(a_i, b_j) + 2*extend_gap
+    (the corner pays one extra extend on each gap; both opens are paid
+    either way), so when min(submat) + 2*extend_gap >= 0 a substitution
+    never loses to the corner and the optimum is unchanged.  Holds for the
+    default blosum62 (min -4) with extend 2; fails e.g. for pam30 (min -17).
+    """
+    import numpy as np
+    return int(np.asarray(submat).min()) + 2 * int(extend_gap) >= 0
+
+
+def _kernel(u_rows, gb, acc_dtype, col_unroll, noadj, q_ref, gaps_ref,
+            prof_ref, colh_ref, colhd_ref, cole_ref, sin_ref, scores_ref,
+            colho_ref, coleo_ref, hrow_ref, fcol_ref):
     r = pl.program_id(1)
     U = u_rows
     W = prof_ref.shape[2] // SUBLANES
@@ -154,8 +171,21 @@ def _kernel(u_rows, gb, acc_dtype, col_unroll, q_ref, gaps_ref, prof_ref,
                 f.append(jnp.maximum(f[u - 1] - eg, c[u - 1]))
             cur = [jnp.maximum(curp[u], f[u]) for u in range(U)]
             for u in range(U):
-                e[g][u] = jnp.maximum(e[g][u] - eg, cur[u] - oeg)
-                smax[g] = jnp.maximum(smax[g], cur[u])
+                if noadj:
+                    # E opens from cur' (reusing c = cur' - oeg): drops
+                    # adjacent-opposite-gap corners, exact only under the
+                    # noadj_ok() condition — engine-gated.  Saves one
+                    # subtract per cell (~3% measured v5e).
+                    e[g][u] = jnp.maximum(e[g][u] - eg, c[u])
+                else:
+                    e[g][u] = jnp.maximum(e[g][u] - eg, cur[u] - oeg)
+                # smax over cur' (not cur) is exact unconditionally: every
+                # f value is max(earlier c[v] - k*eg) or a chunk-carried
+                # f_in with the same provenance, so each f is dominated by
+                # an earlier cur' in the same column (and f_in=0 <= any
+                # 0-clamped cur'), hence max over cur == max over cur'.
+                # Breaks smax's dependence on the serial F scan.
+                smax[g] = jnp.maximum(smax[g], curp[u])
             hprev[g] = hrow_j[g]
             hl[g] = cur
             hrow_ref[g, pl.ds(p, SUBLANES), :] = cur[U - 1]
@@ -184,11 +214,11 @@ def _kernel(u_rows, gb, acc_dtype, col_unroll, q_ref, gaps_ref, prof_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("u_rows", "group_block", "acc_dtype",
-                                    "interpret", "col_unroll"))
+                                    "interpret", "col_unroll", "noadj"))
 def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
              u_rows: int = DEFAULT_U_ROWS, group_block: int = 1,
              acc_dtype=jnp.int32, interpret: bool = False,
-             col_unroll: int = DEFAULT_COL_UNROLL):
+             col_unroll: int = DEFAULT_COL_UNROLL, noadj: bool = False):
     """Score one column chunk of the DP matrix for all groups.
 
     q:          int32[m_pad]               encoded query (scalar-prefetched)
@@ -204,7 +234,9 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
     group_block: independent groups interleaved per kernel step (latency
     hiding); must divide G.  col_unroll: columns advanced per fori-loop
     iteration; must divide the chunk's column count (64 or 128, so any
-    power of two <= 64 is always valid).  Returns (scores, colH_out,
+    power of two <= 64 is always valid).  noadj: relaxed E-update that
+    saves one op/cell — ONLY exact when noadj_ok(submat, extend_gap); the
+    engine gates it per scoring config.  Returns (scores, colH_out,
     colE_out).
     """
     G = prof_chunk.shape[0]
@@ -264,7 +296,7 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
     # interpret mode executes the traced body op by op, so unrolling only
     # slows it down; compiled mode gets the measured +15%
     cu = 1 if interpret else col_unroll
-    kernel = functools.partial(_kernel, U, GB, acc_dtype, cu)
+    kernel = functools.partial(_kernel, U, GB, acc_dtype, cu, noadj)
     cells = G * m_pad * (POS // SUBLANES) * SUBLANES * LANES
     return pl.pallas_call(
         kernel,

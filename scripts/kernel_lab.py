@@ -116,8 +116,24 @@ def _kernel_lab(u_rows, gb, acc_dtype, col_unroll, variant, q_ref, gaps_ref,
                 f_out = vals[U] - biases[U - 1]
             cur = [jnp.maximum(curp[u], f[u]) for u in range(U)]
             for u in range(U):
-                e[g][u] = jnp.maximum(e[g][u] - eg, cur[u] - oeg)
-                smax[g] = jnp.maximum(smax[g], cur[u])
+                if variant in ("pmax", "noadj"):
+                    # smax over curp is exact: every f value is dominated
+                    # by an earlier curp in the same column (f-scan only
+                    # subtracts penalties from c = curp - oeg, and the
+                    # initial f=0 <= any 0-clamped curp), so
+                    # max over cur == max over curp
+                    smax[g] = jnp.maximum(smax[g], curp[u])
+                else:
+                    smax[g] = jnp.maximum(smax[g], cur[u])
+                if variant == "noadj":
+                    # E opens from curp (reuse c), not from cur: drops
+                    # gap-in-one-sequence-immediately-after-gap-in-the-
+                    # other paths; exact iff min(submat) + 2*extend >= 0
+                    # (then a substitution always beats adjacent opposite
+                    # gaps).  Saves the cur-oeg sub — 1 of ~12 ops/cell.
+                    e[g][u] = jnp.maximum(e[g][u] - eg, c[u])
+                else:
+                    e[g][u] = jnp.maximum(e[g][u] - eg, cur[u] - oeg)
             hprev = list(hprev)
             hprev[g] = hrow_j[g]
             hprev = tuple(hprev)
@@ -279,7 +295,11 @@ def check_parity(variant, interpret):
                                  (24, 2, 128, 8, 1, 2)):
         C = L // CHUNK_WIDTH
         q = jnp.asarray(rng.integers(0, 23, m), jnp.int32)
-        gaps = jnp.asarray([11, 1], jnp.int32)
+        # noadj is only exact when min(submat) + 2*extend >= 0 — check it
+        # at the default 10/2 (blosum62 min -4: boundary case); others at
+        # an asymmetric 11/1 config
+        gaps = jnp.asarray([10, 2] if variant == "noadj" else [11, 1],
+                           jnp.int32)
         sm = get_submat("blosum62").astype("int8")
         seq = rng.integers(0, 23, (G, C, CHUNK_WIDTH, SUBLANES, LANES)) \
             .astype(np.int8)

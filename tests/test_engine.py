@@ -191,3 +191,29 @@ def test_fused_dispatch_matches_per_bin(rng):
     np.testing.assert_array_equal(r1.scores, r2.scores)
     np.testing.assert_array_equal(r1.seq_ids, r2.seq_ids)
     assert r1.titles == r2.titles
+
+
+def test_noadj_gate():
+    """The relaxed E-update may only switch on when min(submat) +
+    2*extend_gap >= 0 (adjacent-opposite-gap corners never optimal)."""
+    from oswald_tpu.kernels import noadj_ok
+    from oswald_tpu.submat import get_submat
+    assert noadj_ok(get_submat("blosum62"), 2)        # min -4, boundary
+    assert not noadj_ok(get_submat("blosum62"), 1)    # -4 + 2 < 0
+    assert not noadj_ok(get_submat("pam30"), 2)       # min -17
+    assert noadj_ok(get_submat("pam250"), 4)          # min -8, 8 >= 8
+
+
+def test_noadj_engine_selection_and_parity(rng):
+    """Engines on either side of the gate both match the oracle, and the
+    gate resolves as expected from the config."""
+    db, seqs, lengths = _make_db(rng, 600, 120, bin_cost=1)
+    q = random_protein(rng, 47)
+    on = SearchEngine(db, SearchConfig())                    # blosum62 10/2
+    off = SearchEngine(db, SearchConfig(extend_gap=1))
+    assert on._noadj and not off._noadj
+    for eng, og, eg in ((on, 10, 2), (off, 10, 1)):
+        got = np.asarray(eng.score_all(q))[np.asarray(eng.valid)]
+        want = _oracle_scores(q, db, seqs, lengths,
+                              get_submat("blosum62"), og, eg)
+        np.testing.assert_array_equal(got, want)
