@@ -129,18 +129,51 @@ def _ragged_arange(lens):
 _BIN_COST_RESIDUES = 262_144
 
 
+def _argsort_lengths(lengths: np.ndarray) -> np.ndarray:
+    """Stable ascending argsort, via the narrowest dtype that holds the
+    keys — numpy's stable sort is an O(n) radix sort for <=16-bit ints
+    (measured 65 ms vs 341 ms for int64 comparison sort at 3M keys)."""
+    if lengths.size and int(lengths.max()) < (1 << 16):
+        return np.argsort(lengths.astype(np.uint16), kind="stable")
+    return np.argsort(lengths, kind="stable")
+
+
 def _partition_bins(group_Ls, lane_counts, bin_cost=_BIN_COST_RESIDUES):
     """Optimal contiguous partition of ascending group lengths into bins.
 
     Each bin costs `bin_cost` padded-residue-equivalents of fixed overhead
     (one compiled program + one dispatch per search) plus the padding from
-    raising its groups to the bin's max length.  Exact O(N^2) DP; N is the
-    group count (~100 per 100k sequences), so this is free.  Returns the
-    padded length per group.
+    raising its groups to the bin's max length.  Exact: consecutive groups
+    sharing one quantised length are first fused into runs — moving any
+    cut from inside a run to the run's end only ever shrinks padding (the
+    groups that move into the earlier bin drop from the later bin's larger
+    L to their own), so an optimal partition with run-boundary cuts always
+    exists — then an O(R^2) DP runs over the R distinct-length runs (R is
+    tiny: lengths are LENGTH_QUANTUM-quantised, while the plain per-group
+    O(N^2) DP took ~0.7 s at 3M sequences).  Returns the padded length per
+    group.
     """
-    N = len(group_Ls)
-    if N == 0:
+    if len(group_Ls) == 0:
         return []
+    # fuse runs of equal L
+    run_L, run_lanes, run_groups = [], [], []
+    for L, lanes in zip(group_Ls, lane_counts):
+        if run_L and run_L[-1] == L:
+            run_lanes[-1] += lanes
+            run_groups[-1] += 1
+        else:
+            run_L.append(L)
+            run_lanes.append(lanes)
+            run_groups.append(1)
+    out_runs = _partition_bins_dp(run_L, run_lanes, bin_cost)
+    out = []
+    for L, cnt in zip(out_runs, run_groups):
+        out.extend([L] * cnt)
+    return out
+
+
+def _partition_bins_dp(group_Ls, lane_counts, bin_cost):
+    N = len(group_Ls)
     INF = float("inf")
     best = [INF] * (N + 1)
     cut = [0] * (N + 1)
@@ -181,7 +214,7 @@ def pack_sequences(seqs_flat, lengths, titles=None,
             "sequence data contains codes outside 0..23 — encode residue "
             "strings with oswald_tpu.encode() first")
     offsets = np.concatenate([[0], np.cumsum(lengths)])
-    order = np.argsort(lengths, kind="stable")          # ascending by length
+    order = _argsort_lengths(lengths)                   # ascending by length
     sorted_lengths = lengths[order]
     sorted_titles = [titles[i] for i in order] if titles is not None else \
         [str(i) for i in order]
@@ -247,10 +280,12 @@ def unpack_group(db: PackedDB, L: int, g: int):
 
 def preprocess_db(fasta_path: str, out_path: str, verbose: bool = True):
     """FASTA -> packed on-disk database (directory `{out_path}.oswt/`)."""
+    from oswald_tpu.utils.hostmem import numpy_nohuge
     t0 = time.perf_counter()
-    titles, seqs_flat, lengths = parse_fasta(fasta_path)
-    db = pack_sequences(seqs_flat, lengths, titles)
-    save_db(db, out_path)
+    with numpy_nohuge():      # see stream.preprocess_db_streaming
+        titles, seqs_flat, lengths = parse_fasta(fasta_path)
+        db = pack_sequences(seqs_flat, lengths, titles)
+        save_db(db, out_path)
     if verbose:
         dt = time.perf_counter() - t0
         print(f"oswald-tpu preprocess: {db.n_seqs} sequences "

@@ -30,11 +30,11 @@ import os
 import numpy as np
 
 from oswald_tpu.alphabet import DUMMY
-from oswald_tpu.utils.hostmem import alloc_nohuge
+from oswald_tpu.utils.hostmem import alloc_nohuge, numpy_nohuge
 from oswald_tpu.io.db import (
     GROUP_LANES, SUBLANES, LANES, LENGTH_QUANTUM, FORMAT_VERSION,
-    _round_up, _partition_bins, _ragged_arange, _BIN_COST_RESIDUES,
-    PackedDB, load_db,
+    _round_up, _partition_bins, _ragged_arange, _argsort_lengths,
+    _BIN_COST_RESIDUES, PackedDB, load_db,
 )
 
 DEFAULT_BLOCK = 256 * 1024 * 1024
@@ -422,6 +422,14 @@ def preprocess_db_streaming(fasta_path: str, out_path: str,
     ram_budget_bytes: staging (encoded residues + title bytes) stays in RAM
     up to this budget and spills to temp files beyond it (default: half of
     MemAvailable).  Pass 0 to force the spill path."""
+    with numpy_nohuge():      # block-scale numpy temporaries would other-
+        # wise first-touch at ~0.13 GiB/s on defrag=madvise THP kernels
+        return _preprocess_db_streaming(fasta_path, out_path, block_bytes,
+                                        bin_cost, verbose, ram_budget_bytes)
+
+
+def _preprocess_db_streaming(fasta_path, out_path, block_bytes, bin_cost,
+                             verbose, ram_budget_bytes) -> PackedDB:
     import time
     t0 = time.perf_counter()
     phase_t = {}
@@ -502,7 +510,7 @@ def preprocess_db_streaming(fasta_path: str, out_path: str,
 
     # ---- sort + geometry plan ----
     t = time.perf_counter()
-    order = np.argsort(lengths, kind="stable")       # ascending by length
+    order = _argsort_lengths(lengths)                # ascending by length
     sorted_lengths = lengths[order]
 
     # sorted titles.txt ("\n"-joined, no trailing separator — save_db's
@@ -514,6 +522,7 @@ def preprocess_db_streaming(fasta_path: str, out_path: str,
     with _DirectFile(os.path.join(d, "titles.txt")) as out:
         pos_out = 0
         CH = 1 << 20                          # titles per chunk
+        tchunk = np.zeros(0, np.uint8)        # reused across chunks
         for c0 in range(0, n, CH):
             src = order[c0:c0 + CH]
             lt = tlens[src]
@@ -522,7 +531,10 @@ def preprocess_db_streaming(fasta_path: str, out_path: str,
                 sep[0] = 0                    # no separator before title 0
             widths = lt + sep
             dst0 = np.cumsum(widths) - widths + sep
-            buf_out = alloc_nohuge(int(widths.sum()), np.uint8)
+            need = int(widths.sum())
+            if tchunk.size < need:            # one alloc, one fault cost
+                tchunk = alloc_nohuge(need + need // 4, np.uint8)
+            buf_out = tchunk[:need]
             buf_out[:] = ord("\n")
             if use_native:
                 native.gather_spans(tbuf, tstarts[src], lt, dst0,

@@ -49,3 +49,44 @@ def alloc_nohuge(n: int, dtype) -> np.ndarray:
     libc.madvise(ctypes.c_void_p(addr), ctypes.c_size_t(nbytes),
                  _MADV_NOHUGEPAGE)
     return np.frombuffer(buf, dtype, count=n)
+
+
+class numpy_nohuge:
+    """Context manager: disable numpy's MADV_HUGEPAGE policy for ALL numpy
+    allocations while active (restored on exit).
+
+    `alloc_nohuge` covers buffers we allocate explicitly, but the
+    preprocess also produces block-scale numpy TEMPORARIES (argsort/cumsum
+    outputs, fancy-index gathers, ascontiguousarray copies) whose >=4 MiB
+    allocations numpy madvises MADV_HUGEPAGE — each paying the ~25x
+    first-touch compaction penalty on defrag=madvise kernels (measured:
+    0.13 vs 2.0 GiB/s on fresh arenas).  Numpy exposes a runtime toggle
+    (the documented NUMPY_MADVISE_HUGEPAGE env var only works before numpy
+    is imported, which a library cannot guarantee); where the private
+    hook is missing this is a no-op and only explicit allocations are
+    protected.
+
+    Background prefault of the arenas (MADV_POPULATE_WRITE on a thread)
+    was tried instead and REGRESSED 3x: populating a VMA that the OpenMP
+    scanner is concurrently writing serialises the writers' page faults
+    against each madvise chunk.  Don't revisit — lazy faults from the 4
+    scan threads are already parallel and off the critical path once THP
+    is out of the picture."""
+
+    def __enter__(self):
+        self._prev = None
+        try:
+            from numpy._core.multiarray import _set_madvise_hugepage
+        except ImportError:
+            try:
+                from numpy.core.multiarray import _set_madvise_hugepage
+            except ImportError:
+                return self
+        self._set = _set_madvise_hugepage
+        self._prev = _set_madvise_hugepage(False)
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            self._set(self._prev)
+        return False

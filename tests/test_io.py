@@ -167,3 +167,32 @@ def test_lazy_titles(tmp_path, rng):
         assert lazy.title_of(i) == eager.titles[i]
     # unicode and empty-adjacent handling
     assert lazy.titles[119] == eager.titles[119]
+
+
+def test_partition_bins_run_compression_exact():
+    """The run-compressed bin-partition DP must give the same total cost as
+    the exhaustive per-group DP (cuts inside an equal-length run never
+    improve the partition)."""
+    import numpy as np
+    from oswald_tpu.io.db import _partition_bins, _partition_bins_dp
+
+    def cost(assign, Ls, lanes, bc):
+        tot = 0.0
+        start = 0
+        for i in range(1, len(assign) + 1):
+            if i == len(assign) or assign[i] != assign[i - 1]:
+                tot += bc + assign[start] * sum(lanes[start:i])
+                start = i
+        return tot
+
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        N = int(rng.integers(1, 40))
+        Ls = sorted(int(64 * rng.integers(1, 8)) for _ in range(N))
+        lanes = [int(rng.integers(1, 1025)) for _ in range(N)]
+        bc = int(rng.integers(0, 200000))
+        fast = _partition_bins(Ls, lanes, bc)
+        slow = _partition_bins_dp(Ls, lanes, bc)
+        # both must be valid nondecreasing paddings covering every group
+        assert all(f >= L for f, L in zip(fast, Ls))
+        assert cost(fast, Ls, lanes, bc) == cost(slow, Ls, lanes, bc)
