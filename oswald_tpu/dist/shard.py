@@ -50,6 +50,14 @@ from oswald_tpu.utils.metrics import Metrics
 AXIS = "d"
 
 
+@jax.jit
+def _concat_cands(*cands):
+    """Concatenate per-bin packed candidate arrays ([2, kk] or [2, Q, kk])
+    along the last axis so the host reads ONE array per search instead of
+    two per bin (each readback pays a full tunnel round trip)."""
+    return jnp.concatenate(cands, axis=-1)
+
+
 def make_device_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """1-D mesh over all (or the first n) addressable devices.
 
@@ -371,12 +379,14 @@ class DistributedSearchEngine:
             all_s = jax.lax.all_gather(loc_s, AXIS, axis=1, tiled=True)
             all_ids = jax.lax.all_gather(loc_ids, AXIS, axis=1, tiled=True)
             top_s, top_i = jax.lax.top_k(all_s, min(k, all_s.shape[1]))
-            return top_s, jnp.take_along_axis(all_ids, top_i, axis=1)
+            # packed int32[2, Q, kk]: one readback transfer (see _bin_fn)
+            return jnp.stack(
+                [top_s, jnp.take_along_axis(all_ids, top_i, axis=1)])
 
         fn = jax.jit(jax.shard_map(
             local_fn, mesh=self.mesh,
             in_specs=(P(), P(), P(), P(AXIS), P(AXIS)),
-            out_specs=(P(), P()),
+            out_specs=P(),
             check_vma=False))
         self._bin_fns[key] = fn
         return fn
@@ -398,17 +408,19 @@ class DistributedSearchEngine:
             dev = nxt
             nxt = self._hs_transfer(*self._hs_slices[i + 1]) \
                 if i + 1 < len(self._hs_slices) else None
-            s, ids = self._hostslice_fn(L, Gs, k)(
+            packed = self._hostslice_fn(L, Gs, k)(
                 qb, self.gaps, self.submat_dev, dev[0], dev[1])
             if pending is not None:
-                # blocking readback of slice i-1: the backpressure that
-                # bounds in-flight slices (and frees their HBM)
-                cand_s.append(np.asarray(pending[0]))
-                cand_i.append(np.asarray(pending[1]))
-            pending = (s, ids)
+                # blocking readback of slice i-1 (ONE packed transfer): the
+                # backpressure that bounds in-flight slices (and frees HBM)
+                arr = np.asarray(pending)
+                cand_s.append(arr[0])
+                cand_i.append(arr[1])
+            pending = packed
         if pending is not None:
-            cand_s.append(np.asarray(pending[0]))
-            cand_i.append(np.asarray(pending[1]))
+            arr = np.asarray(pending)
+            cand_s.append(arr[0])
+            cand_i.append(arr[1])
         if not cand_s:
             return (np.zeros((Q, 0), np.int32), np.zeros((Q, 0), np.int32))
         return np.concatenate(cand_s, axis=1), np.concatenate(cand_i, axis=1)
@@ -458,7 +470,10 @@ class DistributedSearchEngine:
             all_s = jax.lax.all_gather(loc_s, AXIS, tiled=True)
             all_ids = jax.lax.all_gather(loc_ids, AXIS, tiled=True)
             top_s, top_i = jax.lax.top_k(all_s, min(k, all_s.shape[0]))
-            return top_s, jnp.take(all_ids, top_i)
+            # packed int32[2, kk] (scores row 0, ids row 1): one output
+            # array costs ONE device->host transfer at readback — a tuple
+            # costs two round trips through the remote-TPU tunnel
+            return jnp.stack([top_s, jnp.take(all_ids, top_i)])
 
         # precompute data = (prof_flat, tail_flat): device-major flat rows
         # shard on axis 0; stream data = (main [C, G, ...] on axis 1,
@@ -468,7 +483,7 @@ class DistributedSearchEngine:
         fn = jax.jit(jax.shard_map(
             local_fn, mesh=self.mesh,
             in_specs=(P(), P(), P(), data_spec, P(AXIS)),
-            out_specs=(P(), P()),
+            out_specs=P(),
             check_vma=False))
         self._bin_fns[key] = fn
         return fn
@@ -484,20 +499,21 @@ class DistributedSearchEngine:
             cs, ci = self._host_stream_candidates(q_pad[None], k)
             scores, ids = self._merge_candidates(cs[0], ci[0], k)
         else:
-            cand_s, cand_i = [], []
+            cands = []
             for L in self.db.bin_lengths:
                 data = (self.prof_flat, self.tail_flat) if \
                     self.mode == "precompute" else \
                     self.seq_stacks[L]
-                s, i = self._bin_fn(L, k)(q_pad, self.gaps, self.submat_dev,
-                                          data, self.ids[L])
-                cand_s.append(s)        # stay on device: all bins dispatch
-                cand_i.append(i)        # before the host blocks on any
-            cand_s = [np.asarray(s) for s in cand_s]
-            cand_i = [np.asarray(i) for i in cand_i]
-            scores = np.concatenate(cand_s) if cand_s else \
-                np.zeros(0, np.int32)
-            ids = np.concatenate(cand_i) if cand_i else np.zeros(0, np.int32)
+                cands.append(self._bin_fn(L, k)(        # stays on device:
+                    q_pad, self.gaps, self.submat_dev,  # all bins dispatch
+                    data, self.ids[L]))                 # before any block
+            if cands:
+                # one device-side concat of every bin's packed [2, kk]
+                # candidates, then ONE readback for the whole search
+                arr = np.asarray(_concat_cands(*cands))
+                scores, ids = arr[0], arr[1]
+            else:
+                scores = ids = np.zeros(0, np.int32)
             # deterministic merge: score descending, id ascending on ties —
             # identical to a global top_k over the slot-ordered flat scores
             scores, ids = self._merge_candidates(scores, ids, k)
@@ -537,12 +553,14 @@ class DistributedSearchEngine:
             all_ids = jax.lax.all_gather(loc_ids, AXIS, axis=1, tiled=True)
             top_s, top_i = jax.lax.top_k(all_s,
                                          min(k, all_s.shape[1]))
-            return top_s, jnp.take_along_axis(all_ids, top_i, axis=1)
+            # packed int32[2, Q, kk]: one readback transfer (see _bin_fn)
+            return jnp.stack(
+                [top_s, jnp.take_along_axis(all_ids, top_i, axis=1)])
 
         fn = jax.jit(jax.shard_map(
             local_fn, mesh=self.mesh,
             in_specs=(P(), P(), P(), (P(AXIS), P(AXIS)), P(AXIS)),
-            out_specs=(P(), P()),
+            out_specs=P(),
             check_vma=False))
         self._bin_fns[key] = fn
         return fn
@@ -575,24 +593,25 @@ class DistributedSearchEngine:
                 # the sweep's readback loop is its own backpressure, so
                 # these candidates are already host-side
                 cs, ci = self._host_stream_candidates(qb, k)
-                pending.append((idxs, [cs], [ci]))
+                pending.append((idxs, None, cs, ci))
                 continue
-            cand_s, cand_i = [], []
+            cands = []
             for L in self.db.bin_lengths:
                 data = (self.prof_flat, self.tail_flat)
-                s, i = self._bin_batch_fn(L, k)(
-                    qb, self.gaps, self.submat_dev, data, self.ids[L])
-                cand_s.append(s)
-                cand_i.append(i)
-            pending.append((idxs, cand_s, cand_i))
+                cands.append(self._bin_batch_fn(L, k)(
+                    qb, self.gaps, self.submat_dev, data, self.ids[L]))
+            pending.append((idxs, cands, None, None))
 
-        for idxs, cand_s, cand_i in pending:
-            cand_s = [np.asarray(s) for s in cand_s]
-            cand_i = [np.asarray(i) for i in cand_i]
-            scores = np.concatenate(cand_s, axis=1) if cand_s else \
-                np.zeros((len(idxs), 0), np.int32)
-            ids = np.concatenate(cand_i, axis=1) if cand_i else \
-                np.zeros((len(idxs), 0), np.int32)
+        for idxs, cands, scores, ids in pending:
+            if cands is not None:
+                if cands:
+                    # one device concat + ONE readback per padded-length
+                    # group (see _bin_fn's packed layout)
+                    arr = np.asarray(_concat_cands(*cands))
+                    scores, ids = arr[0], arr[1]
+                else:
+                    scores = np.zeros((len(idxs), 0), np.int32)
+                    ids = np.zeros((len(idxs), 0), np.int32)
             for row, qi in enumerate(idxs):
                 srow, irow = self._merge_candidates(scores[row], ids[row], k)
                 results[qi] = SearchResult(

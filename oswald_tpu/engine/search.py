@@ -362,8 +362,13 @@ _build_profile_jit = jax.jit(build_profile)
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk(scores_flat, valid, k):
+    """Masked top-k, PACKED as one int32[2, k] array (scores row 0, slot
+    indices row 1).  One output array means ONE device->host transfer; a
+    (values, indices) tuple costs two round trips through the remote-TPU
+    tunnel (~28 ms each), which dominates short-query searches."""
     masked = jnp.where(valid, scores_flat, -1)
-    return jax.lax.top_k(masked, k)
+    vals, idx = jax.lax.top_k(masked, k)
+    return jnp.stack([vals.astype(jnp.int32), idx.astype(jnp.int32)])
 
 
 def _host_topk(scores_flat, ids_flat, k):
@@ -613,7 +618,9 @@ class SearchEngine:
             flat = jnp.concatenate(outs) if outs else \
                 jnp.zeros((0,), jnp.int32)
             masked = jnp.where(valid, flat, -1)
-            return jax.lax.top_k(masked, k)
+            vals, idx = jax.lax.top_k(masked, k)
+            # packed [2, k]: one readback transfer (see _topk)
+            return jnp.stack([vals, idx.astype(jnp.int32)])
 
         self._search_fns[k] = f
         return f
@@ -664,11 +671,13 @@ class SearchEngine:
                 q_pad = jnp.asarray(q_pad_np)
                 stacks = (self.prof_flat, self.tail_flat) if \
                     self.mode == "precompute" else self.seq_stacks
-                top_scores, top_slots = self._search_fn(k)(
+                packed = self._search_fn(k)(
                     q_pad, self.gaps, self.submat_dev, stacks, self.valid)
             else:
                 scores = self.score_all(query)
-                top_scores, top_slots = _topk(scores, self.valid, k)
+                packed = _topk(scores, self.valid, k)
+            packed = np.asarray(packed)      # the ONE blocking readback
+            top_scores, top_slots = packed[0], packed[1]
         top_scores = np.asarray(top_scores)
         # slots -> sorted-sequence ids (slot order preserves id order, so
         # top_k's lowest-index tie-break is a lowest-id tie-break)
@@ -729,6 +738,7 @@ class SearchEngine:
                 # one streaming sweep of the database scores the whole
                 # same-length batch (transfer cost amortised over queries)
                 flat_np = self._host_stream_scores(qb)
+                packed = None
                 top_scores = np.empty((len(idxs), k), np.int32)
                 top_slots = np.empty((len(idxs), k), np.int64)
                 for row in range(len(idxs)):
@@ -749,14 +759,18 @@ class SearchEngine:
                         col_unroll=self.config.col_unroll,
                         noadj=self._noadj)
                     outs.append(s.reshape(len(idxs), -1))
-                flat = jnp.concatenate(outs, axis=1)
-                top_scores, top_slots = jax.vmap(
-                    lambda sc: _topk(sc, self.valid, k))(flat)
-            pending.append((idxs, top_scores, top_slots))
+                packed = jax.vmap(
+                    lambda sc: _topk(sc, self.valid, k))(
+                        jnp.concatenate(outs, axis=1))      # [Q, 2, k]
+                top_scores, top_slots = None, None
+            pending.append((idxs, packed, top_scores, top_slots))
 
-        for idxs, top_scores, top_slots in pending:
-            top_scores = np.asarray(top_scores)     # blocks (per group)
-            top_slots = np.asarray(top_slots)
+        for idxs, packed, top_scores, top_slots in pending:
+            if top_scores is None:
+                # one packed readback per group (scores+slots together,
+                # a single tunnel round trip — see _topk)
+                arr = np.asarray(packed)
+                top_scores, top_slots = arr[:, 0], arr[:, 1]
             for row, i in enumerate(idxs):
                 ids = self.ids_flat[top_slots[row]]
                 results[i] = SearchResult(
