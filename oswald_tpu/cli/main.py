@@ -76,6 +76,10 @@ def _add_search_args(sp):
                     help="machine-readable output: one JSON object per "
                          "query plus a run summary, instead of the text "
                          "report")
+    sp.add_argument("-a", "--align", action="store_true",
+                    help="print a gapped alignment (traceback) for every "
+                         "reported hit — a host-side post-pass over the "
+                         "top-k only (the reference is score-only)")
 
 
 def build_parser():
@@ -174,14 +178,31 @@ def cmd_search(args):
     if jax.process_index() != 0:
         return 0
 
+    alignments = None
+    if args.align:
+        from oswald_tpu.engine.align import align_hits
+        sub = get_submat(args.sm)
+        alignments = [align_hits(db, q, res, sub, args.gap_open,
+                                 args.gap_extend)
+                      for q, res in zip(queries, results)]
+
     if args.json:
         import json as _json
-        for res in results:
+        for qi, res in enumerate(results):
+            hits = [{"score": int(s), "id": int(i), "title": t}
+                    for s, i, t in zip(res.scores, res.seq_ids, res.titles)]
+            if alignments is not None:
+                for h, a in zip(hits, alignments[qi]):
+                    h["alignment"] = {
+                        "q_start": a.q_start, "q_end": a.q_end,
+                        "s_start": a.s_start, "s_end": a.s_end,
+                        "q_aln": a.q_aln, "s_aln": a.s_aln,
+                        "midline": a.midline,
+                        "identities": a.identities,
+                        "positives": a.positives, "gaps": a.gaps}
             print(_json.dumps({
                 "query": res.query_title, "length": res.query_length,
-                "hits": [{"score": int(s), "id": int(i), "title": t}
-                         for s, i, t in zip(res.scores, res.seq_ids,
-                                            res.titles)]}))
+                "hits": hits}))
         print(_json.dumps({
             "summary": {"n_queries": len(queries), "db_seqs": db.n_seqs,
                         "db_residues": db.n_residues,
@@ -201,6 +222,11 @@ def cmd_search(args):
         print("\nScore\tSequence description")
         for sc, title in zip(res.scores, res.titles):
             print(f"{int(sc)}\t{title}")
+        if alignments is not None:
+            from oswald_tpu.engine.align import format_alignment
+            for title, aln in zip(res.titles, alignments[i]):
+                print(f"\n> {title}\n Score: {aln.score}")
+                print(format_alignment(aln), end="")
     print(f"\nSearch date:\t\t\t{time.ctime()}")
     print(f"Database:\t\t\t{args.db} ({db.n_seqs} sequences, "
           f"{db.n_residues} residues)")

@@ -19,6 +19,7 @@ assemble_multiple_chunks_db :393-623).  Differences by design:
   can load per-host group slices without reading the whole database.
 """
 
+import bisect
 import dataclasses
 import json
 import os
@@ -69,6 +70,37 @@ class PackedDB:
 
     def title_of(self, sorted_id: int) -> str:
         return self.titles[sorted_id]
+
+    def sequence_of(self, sorted_id: int) -> np.ndarray:
+        """Recover one encoded sequence from the packed bins by sorted id.
+
+        Used by the alignment post-pass (engine/align.py) to fetch hit
+        subjects: groups hold 1024 consecutive sorted ids each, so the id
+        maps to (group, sublane, lane) directly; the per-bin group index
+        comes from a lazily built first-id table (reads one id scalar per
+        stacked group, mmap-friendly).  The reference has no analog — it is
+        score-only and re-reads nothing after the search.
+        """
+        if not (0 <= sorted_id < self.n_seqs):
+            raise IndexError(
+                f"sequence id {sorted_id} out of range 0..{self.n_seqs - 1}")
+        starts = getattr(self, "_group_first_ids", None)
+        if starts is None:
+            starts = []                       # (first_id, L, g_in_bin)
+            for L in self.bin_lengths:
+                ids = self.bins[L]["id"]
+                for g in range(ids.shape[0]):
+                    starts.append((int(ids[g, 0, 0]), L, g))
+            starts.sort()
+            self._group_first_ids = starts
+        pos = bisect.bisect_right(starts, (sorted_id, float("inf"))) - 1
+        first_id, L, g = starts[pos]
+        slot = sorted_id - first_id
+        su, la = slot // LANES, slot % LANES
+        b = self.bins[L]
+        assert int(b["id"][g, su, la]) == sorted_id, (sorted_id, L, g, slot)
+        n = int(b["len"][g, su, la])
+        return np.asarray(b["seq"][g, :n, su, la])
 
 
 def _round_up(x: int, q: int) -> int:

@@ -116,3 +116,34 @@ def test_cli_json_output(tmp_path, fasta_db, capsys):
     assert [h["score"] for h in qobj["hits"]] == want
     summary = next(o for o in objs if "summary" in o)
     assert summary["summary"]["n_queries"] == 1
+
+
+def test_cli_align_output(tmp_path, fasta_db, capsys):
+    """--align prints a traceback block per hit whose rescored alignment
+    matches the reported score (text mode) and ships coordinates+rows in
+    --json mode."""
+    import json
+    db_fasta, seqs = fasta_db
+    qseq = seqs[11][:30]
+    qpath = tmp_path / "q.fasta"
+    with open(qpath, "w") as f:
+        f.write(">aq\n" + "".join(ALPHABET[c] for c in qseq) + "\n")
+    assert main(["preprocess", "-i", str(db_fasta),
+                 "-o", str(tmp_path / "db")]) == 0
+    assert main(["search", "-q", str(qpath), "-d", str(tmp_path / "db"),
+                 "-r", "3", "--align", "--devices", "1"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("Identities:") == 3
+    assert "Query" in out and "Sbjct" in out
+    # the self-hit aligns gap-free end to end
+    assert f"> dbseq11" in out
+
+    assert main(["search", "-q", str(qpath), "-d", str(tmp_path / "db"),
+                 "-r", "2", "--align", "--json", "--devices", "1"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    qobj = next(json.loads(l) for l in lines if "hits" in l)
+    top = qobj["hits"][0]
+    assert top["alignment"]["identities"] == 30
+    assert top["alignment"]["q_aln"] == top["alignment"]["s_aln"]
+    assert top["alignment"]["q_start"] == 1
