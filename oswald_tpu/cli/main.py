@@ -191,6 +191,10 @@ def cmd_search(args):
         for qi, res in enumerate(results):
             hits = [{"score": int(s), "id": int(i), "title": t}
                     for s, i, t in zip(res.scores, res.seq_ids, res.titles)]
+            if res.evalues is not None:
+                for h, e, b in zip(hits, res.evalues, res.bit_scores):
+                    h["evalue"] = float(e)
+                    h["bits"] = round(float(b), 1)
             if alignments is not None:
                 for h, a in zip(hits, alignments[qi]):
                     h["alignment"] = {
@@ -219,9 +223,19 @@ def cmd_search(args):
         print(f"\nQuery no.\t\t\t{i + 1}")
         print(f"Query description: \t\t{res.query_title}")
         print(f"Query length:\t\t\t{res.query_length} residues")
-        print("\nScore\tSequence description")
-        for sc, title in zip(res.scores, res.titles):
-            print(f"{int(sc)}\t{title}")
+        if res.evalues is not None:
+            # significance columns from the empirical extreme-value fit
+            # (oswald_tpu.stats) — beyond the reference's score-only report
+            from oswald_tpu.stats import format_evalue
+            print("\nScore\tBits\tE-value\t\tSequence description")
+            for sc, b, e, title in zip(res.scores, res.bit_scores,
+                                       res.evalues, res.titles):
+                print(f"{int(sc)}\t{b:.1f}\t{format_evalue(float(e)):<8}"
+                      f"\t{title}")
+        else:
+            print("\nScore\tSequence description")
+            for sc, title in zip(res.scores, res.titles):
+                print(f"{int(sc)}\t{title}")
         if alignments is not None:
             from oswald_tpu.engine.align import format_alignment
             for title, aln in zip(res.titles, alignments[i]):

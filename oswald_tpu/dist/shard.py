@@ -42,12 +42,27 @@ from oswald_tpu.kernels import build_profile, noadj_ok, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_stream_impl,
     _search_bin_flat_impl, _search_bin_flat_batch_impl,
-    _search_bin_hostslice_impl, pad_query,
+    _search_bin_hostslice_impl, _split_packed, _result_stats, pad_query,
 )
 from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics
 
 AXIS = "d"
+
+
+def _psum_moments_col(flat, idsf, ndim):
+    """Mesh-global score moments as one packed int32 column (the dist
+    analog of engine.search._append_moments): sum and sum^2 of the valid
+    local scores, psum'd over the mesh axis so every shard returns the
+    SAME replicated moments, bitcast f32->int32 for concatenation onto the
+    packed candidate array.  flat: [n] or [Q, n] local scores; ndim 2
+    returns [2, 1], ndim 3 returns [2, Q, 1]."""
+    sf = jnp.where(idsf >= 0, flat, 0).astype(jnp.float32)
+    mom = jax.lax.psum(
+        jnp.stack([jnp.sum(sf, axis=-1), jnp.sum(sf * sf, axis=-1)]), AXIS)
+    return jax.lax.bitcast_convert_type(mom, jnp.int32)[..., None] \
+        if ndim == 3 else \
+        jax.lax.bitcast_convert_type(mom, jnp.int32).reshape(2, 1)
 
 
 @jax.jit
@@ -379,9 +394,12 @@ class DistributedSearchEngine:
             all_s = jax.lax.all_gather(loc_s, AXIS, axis=1, tiled=True)
             all_ids = jax.lax.all_gather(loc_ids, AXIS, axis=1, tiled=True)
             top_s, top_i = jax.lax.top_k(all_s, min(k, all_s.shape[1]))
-            # packed int32[2, Q, kk]: one readback transfer (see _bin_fn)
-            return jnp.stack(
+            # packed int32[2, Q, kk+1] incl. a trailing moments column:
+            # one readback transfer (see _bin_fn)
+            packed = jnp.stack(
                 [top_s, jnp.take_along_axis(all_ids, top_i, axis=1)])
+            return jnp.concatenate(
+                [packed, _psum_moments_col(flat, idsf, 3)], axis=-1)
 
         fn = jax.jit(jax.shard_map(
             local_fn, mesh=self.mesh,
@@ -401,9 +419,20 @@ class DistributedSearchEngine:
         per-chunk clEnqueueWriteBuffer round, FPGAsearch.c:180-237)."""
         Q = qb.shape[0]
         cand_s, cand_i = [], []
+        msum = msumsq = np.zeros(Q, np.float64)
         pending = None
         nxt = self._hs_transfer(*self._hs_slices[0]) if self._hs_slices \
             else None
+
+        def _drain(packed):
+            nonlocal msum, msumsq
+            arr = np.asarray(packed)            # [2, Q, kk+1]
+            mom = np.ascontiguousarray(arr[..., -1]).view(np.float32)
+            msum = msum + mom[0].astype(np.float64)
+            msumsq = msumsq + mom[1].astype(np.float64)
+            cand_s.append(arr[0, :, :-1])
+            cand_i.append(arr[1, :, :-1])
+
         for i, (L, lo, Gs) in enumerate(self._hs_slices):
             dev = nxt
             nxt = self._hs_transfer(*self._hs_slices[i + 1]) \
@@ -413,17 +442,15 @@ class DistributedSearchEngine:
             if pending is not None:
                 # blocking readback of slice i-1 (ONE packed transfer): the
                 # backpressure that bounds in-flight slices (and frees HBM)
-                arr = np.asarray(pending)
-                cand_s.append(arr[0])
-                cand_i.append(arr[1])
+                _drain(pending)
             pending = packed
         if pending is not None:
-            arr = np.asarray(pending)
-            cand_s.append(arr[0])
-            cand_i.append(arr[1])
+            _drain(pending)
         if not cand_s:
-            return (np.zeros((Q, 0), np.int32), np.zeros((Q, 0), np.int32))
-        return np.concatenate(cand_s, axis=1), np.concatenate(cand_i, axis=1)
+            return (np.zeros((Q, 0), np.int32), np.zeros((Q, 0), np.int32),
+                    msum, msumsq)
+        return (np.concatenate(cand_s, axis=1),
+                np.concatenate(cand_i, axis=1), msum, msumsq)
 
     def _merge_candidates(self, scores, ids, k: int):
         """Deterministic host merge of one query's candidate union: score
@@ -470,10 +497,13 @@ class DistributedSearchEngine:
             all_s = jax.lax.all_gather(loc_s, AXIS, tiled=True)
             all_ids = jax.lax.all_gather(loc_ids, AXIS, tiled=True)
             top_s, top_i = jax.lax.top_k(all_s, min(k, all_s.shape[0]))
-            # packed int32[2, kk] (scores row 0, ids row 1): one output
-            # array costs ONE device->host transfer at readback — a tuple
-            # costs two round trips through the remote-TPU tunnel
-            return jnp.stack([top_s, jnp.take(all_ids, top_i)])
+            # packed int32[2, kk+1] (scores row 0, ids row 1, mesh-global
+            # score moments in the last column): one output array costs ONE
+            # device->host transfer at readback — a tuple costs two round
+            # trips through the remote-TPU tunnel
+            packed = jnp.stack([top_s, jnp.take(all_ids, top_i)])
+            return jnp.concatenate(
+                [packed, _psum_moments_col(flat, idsf, 2)], axis=-1)
 
         # precompute data = (prof_flat, tail_flat): device-major flat rows
         # shard on axis 0; stream data = (main [C, G, ...] on axis 1,
@@ -496,8 +526,10 @@ class DistributedSearchEngine:
         q_pad = jnp.asarray(self._pad_query(query))
         k = min(self.config.top, max(self.db.n_seqs, 1))
         if self.mode == "host_stream":
-            cs, ci = self._host_stream_candidates(q_pad[None], k)
+            cs, ci, msum, msumsq = self._host_stream_candidates(
+                q_pad[None], k)
             scores, ids = self._merge_candidates(cs[0], ci[0], k)
+            msum, msumsq = float(msum[0]), float(msumsq[0])
         else:
             cands = []
             for L in self.db.bin_lengths:
@@ -508,22 +540,26 @@ class DistributedSearchEngine:
                     q_pad, self.gaps, self.submat_dev,  # all bins dispatch
                     data, self.ids[L]))                 # before any block
             if cands:
-                # one device-side concat of every bin's packed [2, kk]
+                # one device-side concat of every bin's packed [2, kk+1]
                 # candidates, then ONE readback for the whole search
                 arr = np.asarray(_concat_cands(*cands))
-                scores, ids = arr[0], arr[1]
+                scores, ids, msum, msumsq = _split_packed(
+                    arr, [int(c.shape[-1]) for c in cands])
             else:
                 scores = ids = np.zeros(0, np.int32)
+                msum = msumsq = 0.0
             # deterministic merge: score descending, id ascending on ties —
             # identical to a global top_k over the slot-ordered flat scores
             scores, ids = self._merge_candidates(scores, ids, k)
+        qlen = int(np.asarray(query).size)
+        ev, bits, st = _result_stats(self.db, scores, msum, msumsq, qlen)
         elapsed = time.perf_counter() - t0
         self.metrics.add("search", elapsed)
         titles = [self.db.title_of(int(i)) for i in ids]
-        return SearchResult(query_title=query_title,
-                            query_length=int(np.asarray(query).size),
+        return SearchResult(query_title=query_title, query_length=qlen,
                             scores=scores, seq_ids=ids, titles=titles,
-                            elapsed=elapsed)
+                            elapsed=elapsed, evalues=ev, bit_scores=bits,
+                            stats=st)
 
     def _bin_batch_fn(self, L: int, k: int):
         """Compiled per-bin shard_map for a query batch: (q_batch, gaps,
@@ -553,9 +589,11 @@ class DistributedSearchEngine:
             all_ids = jax.lax.all_gather(loc_ids, AXIS, axis=1, tiled=True)
             top_s, top_i = jax.lax.top_k(all_s,
                                          min(k, all_s.shape[1]))
-            # packed int32[2, Q, kk]: one readback transfer (see _bin_fn)
-            return jnp.stack(
+            # packed int32[2, Q, kk+1] incl. moments: one readback (_bin_fn)
+            packed = jnp.stack(
                 [top_s, jnp.take_along_axis(all_ids, top_i, axis=1)])
+            return jnp.concatenate(
+                [packed, _psum_moments_col(flat, idsf, 3)], axis=-1)
 
         fn = jax.jit(jax.shard_map(
             local_fn, mesh=self.mesh,
@@ -592,34 +630,39 @@ class DistributedSearchEngine:
                 # same-length batch (transfer cost amortised over queries);
                 # the sweep's readback loop is its own backpressure, so
                 # these candidates are already host-side
-                cs, ci = self._host_stream_candidates(qb, k)
-                pending.append((idxs, None, cs, ci))
+                cs, ci, msum, msumsq = self._host_stream_candidates(qb, k)
+                pending.append((idxs, None, cs, ci, msum, msumsq))
                 continue
             cands = []
             for L in self.db.bin_lengths:
                 data = (self.prof_flat, self.tail_flat)
                 cands.append(self._bin_batch_fn(L, k)(
                     qb, self.gaps, self.submat_dev, data, self.ids[L]))
-            pending.append((idxs, cands, None, None))
+            pending.append((idxs, cands, None, None, None, None))
 
-        for idxs, cands, scores, ids in pending:
+        for idxs, cands, scores, ids, msum, msumsq in pending:
             if cands is not None:
                 if cands:
                     # one device concat + ONE readback per padded-length
                     # group (see _bin_fn's packed layout)
                     arr = np.asarray(_concat_cands(*cands))
-                    scores, ids = arr[0], arr[1]
+                    scores, ids, msum, msumsq = _split_packed(
+                        arr, [int(c.shape[-1]) for c in cands])
                 else:
                     scores = np.zeros((len(idxs), 0), np.int32)
                     ids = np.zeros((len(idxs), 0), np.int32)
+                    msum = msumsq = np.zeros(len(idxs), np.float64)
             for row, qi in enumerate(idxs):
                 srow, irow = self._merge_candidates(scores[row], ids[row], k)
+                qlen = int(np.asarray(queries[qi]).size)
+                ev, bits, st = _result_stats(
+                    self.db, srow, float(msum[row]), float(msumsq[row]),
+                    qlen)
                 results[qi] = SearchResult(
-                    query_title=titles[qi],
-                    query_length=int(np.asarray(queries[qi]).size),
+                    query_title=titles[qi], query_length=qlen,
                     scores=srow, seq_ids=irow,
                     titles=[self.db.title_of(int(j)) for j in irow],
-                    elapsed=0.0)
+                    elapsed=0.0, evalues=ev, bit_scores=bits, stats=st)
         elapsed = time.perf_counter() - t0
         self.metrics.add("search_batch", elapsed)
         per = elapsed / max(len(queries), 1)

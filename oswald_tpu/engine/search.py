@@ -26,6 +26,7 @@ from oswald_tpu.submat import get_submat
 from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
 from oswald_tpu.kernels import sw_chunk, build_profile, noadj_ok, CHUNK_WIDTH
 from oswald_tpu.engine.planner import plan_profile_mode
+from oswald_tpu.stats import fit_gumbel
 from oswald_tpu.utils.metrics import Metrics
 
 
@@ -149,6 +150,32 @@ class SearchResult:
     seq_ids: np.ndarray       # int32[k], sorted-order ids into db.titles
     titles: list              # top-k subject titles
     elapsed: float            # seconds (this query's device time)
+    # empirical significance statistics (oswald_tpu.stats; None when the
+    # database is too small for a meaningful extreme-value fit)
+    evalues: np.ndarray | None = None      # float64[k]
+    bit_scores: np.ndarray | None = None   # float64[k]
+    stats: object | None = None            # stats.ScoreStats
+
+
+def _result_stats(db, top_scores, msum, msumsq, query_len):
+    """Fit the null model from streamed moments and score the hits.
+
+    Returns (evalues, bit_scores, ScoreStats|None); the reported hits are
+    excluded from the fit so true positives don't inflate the variance."""
+    st = fit_gumbel(db.n_seqs, msum, msumsq, exclude_scores=top_scores)
+    if st is None:
+        return None, None, None
+    ev = st.evalues(top_scores, db.n_seqs)
+    bits = st.bit_scores(top_scores, query_len,
+                         db.n_residues / max(db.n_seqs, 1))
+    return ev, bits, st
+
+
+def _host_moments(scores_flat, valid_mask):
+    """Host-side (sum, sum^2) of the valid scores — for the host_stream
+    paths, whose full score vectors are already in host RAM."""
+    sf = np.asarray(scores_flat, np.float64)[..., valid_mask]
+    return sf.sum(-1), (sf * sf).sum(-1)
 
 
 def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
@@ -360,15 +387,59 @@ _search_bin_flat_batch = jax.jit(_search_bin_flat_batch_impl,
 _build_profile_jit = jax.jit(build_profile)
 
 
+def _append_moments(packed, scores_flat, valid):
+    """Append one int32 column [bitcast f32 sum(S), bitcast f32 sum(S^2)]
+    over the valid slots to a packed [2, k] top-k array: the score moments
+    feed the host-side extreme-value significance fit (oswald_tpu.stats)
+    and ride the SAME readback as the hits — the full score vector never
+    crosses the host boundary and no extra round trip is paid."""
+    sf = jnp.where(valid, scores_flat, 0).astype(jnp.float32)
+    mom = jnp.stack([jnp.sum(sf), jnp.sum(sf * sf)])
+    col = jax.lax.bitcast_convert_type(mom, jnp.int32).reshape(2, 1)
+    return jnp.concatenate([packed, col], axis=1)
+
+
+def _unpack_topk(arr):
+    """Host unpack of a packed readback int32[..., 2, k+1] ->
+    (scores[..., k], slots[..., k], sum[...], sumsq[...])."""
+    mom = np.ascontiguousarray(arr[..., :, -1]).view(np.float32)
+    return (arr[..., 0, :-1], arr[..., 1, :-1],
+            mom[..., 0].astype(np.float64), mom[..., 1].astype(np.float64))
+
+
+def _split_packed(arr, widths):
+    """Split a host-side concatenation of per-bin packed candidate arrays
+    ([2, W] or [2, Q, W] int32, each bin contributing widths[i] columns
+    whose LAST column is its bitcast moments — see _append_moments) into
+    (scores, ids, msum, msumsq): candidates re-concatenated without the
+    moments columns, moments summed over bins (scalars for [2, W],
+    per-query float64 arrays for [2, Q, W])."""
+    s_parts, i_parts = [], []
+    msum = msumsq = 0.0
+    off = 0
+    for w in widths:
+        seg = arr[..., off:off + w]
+        mom = np.ascontiguousarray(seg[..., -1]).view(np.float32)
+        msum = msum + mom[0].astype(np.float64)
+        msumsq = msumsq + mom[1].astype(np.float64)
+        s_parts.append(seg[0, ..., :-1])
+        i_parts.append(seg[1, ..., :-1])
+        off += w
+    return (np.concatenate(s_parts, axis=-1),
+            np.concatenate(i_parts, axis=-1), msum, msumsq)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk(scores_flat, valid, k):
-    """Masked top-k, PACKED as one int32[2, k] array (scores row 0, slot
-    indices row 1).  One output array means ONE device->host transfer; a
-    (values, indices) tuple costs two round trips through the remote-TPU
-    tunnel (~28 ms each), which dominates short-query searches."""
+    """Masked top-k, PACKED as one int32[2, k+1] array (scores row 0, slot
+    indices row 1, score moments in the last column — see _append_moments).
+    One output array means ONE device->host transfer; a (values, indices)
+    tuple costs two round trips through the remote-TPU tunnel (~28 ms
+    each), which dominates short-query searches."""
     masked = jnp.where(valid, scores_flat, -1)
     vals, idx = jax.lax.top_k(masked, k)
-    return jnp.stack([vals.astype(jnp.int32), idx.astype(jnp.int32)])
+    packed = jnp.stack([vals.astype(jnp.int32), idx.astype(jnp.int32)])
+    return _append_moments(packed, scores_flat, valid)
 
 
 def _host_topk(scores_flat, ids_flat, k):
@@ -619,8 +690,9 @@ class SearchEngine:
                 jnp.zeros((0,), jnp.int32)
             masked = jnp.where(valid, flat, -1)
             vals, idx = jax.lax.top_k(masked, k)
-            # packed [2, k]: one readback transfer (see _topk)
-            return jnp.stack([vals, idx.astype(jnp.int32)])
+            # packed [2, k+1] incl. score moments: one readback (see _topk)
+            return _append_moments(
+                jnp.stack([vals, idx.astype(jnp.int32)]), flat, valid)
 
         self._search_fns[k] = f
         return f
@@ -661,6 +733,7 @@ class SearchEngine:
             scores = self._host_stream_scores(
                 jnp.asarray(self._pad_query(query))[None])[0]
             top_scores, top_slots = _host_topk(scores, self.ids_flat, k)
+            msum, msumsq = _host_moments(scores, self.ids_flat >= 0)
         else:
             q_pad_np = self._pad_query(query)
             fused = self.config.fused_dispatch
@@ -677,18 +750,20 @@ class SearchEngine:
                 scores = self.score_all(query)
                 packed = _topk(scores, self.valid, k)
             packed = np.asarray(packed)      # the ONE blocking readback
-            top_scores, top_slots = packed[0], packed[1]
+            top_scores, top_slots, msum, msumsq = _unpack_topk(packed)
         top_scores = np.asarray(top_scores)
         # slots -> sorted-sequence ids (slot order preserves id order, so
         # top_k's lowest-index tie-break is a lowest-id tie-break)
         top_ids = self.ids_flat[np.asarray(top_slots)]
+        qlen = int(np.asarray(query).size)
+        ev, bits, st = _result_stats(self.db, top_scores, msum, msumsq, qlen)
         elapsed = time.perf_counter() - t0
         self.metrics.add("search", elapsed)
         titles = [self.db.title_of(int(i)) for i in top_ids]
-        return SearchResult(query_title=query_title,
-                            query_length=int(np.asarray(query).size),
+        return SearchResult(query_title=query_title, query_length=qlen,
                             scores=top_scores, seq_ids=top_ids,
-                            titles=titles, elapsed=elapsed)
+                            titles=titles, elapsed=elapsed,
+                            evalues=ev, bit_scores=bits, stats=st)
 
     def warmup(self, max_query_len: int = 512):
         """Precompile every (bin, padded-query-shape) program for queries up
@@ -744,6 +819,7 @@ class SearchEngine:
                 for row in range(len(idxs)):
                     top_scores[row], top_slots[row] = _host_topk(
                         flat_np[row], self.ids_flat, k)
+                msum, msumsq = _host_moments(flat_np, self.ids_flat >= 0)
             else:
                 outs = []
                 for L in self.db.bin_lengths:
@@ -761,24 +837,27 @@ class SearchEngine:
                     outs.append(s.reshape(len(idxs), -1))
                 packed = jax.vmap(
                     lambda sc: _topk(sc, self.valid, k))(
-                        jnp.concatenate(outs, axis=1))      # [Q, 2, k]
-                top_scores, top_slots = None, None
-            pending.append((idxs, packed, top_scores, top_slots))
+                        jnp.concatenate(outs, axis=1))      # [Q, 2, k+1]
+                top_scores = top_slots = msum = msumsq = None
+            pending.append((idxs, packed, top_scores, top_slots,
+                            msum, msumsq))
 
-        for idxs, packed, top_scores, top_slots in pending:
+        for idxs, packed, top_scores, top_slots, msum, msumsq in pending:
             if top_scores is None:
-                # one packed readback per group (scores+slots together,
+                # one packed readback per group (scores+slots+moments,
                 # a single tunnel round trip — see _topk)
-                arr = np.asarray(packed)
-                top_scores, top_slots = arr[:, 0], arr[:, 1]
+                top_scores, top_slots, msum, msumsq = _unpack_topk(
+                    np.asarray(packed))
             for row, i in enumerate(idxs):
                 ids = self.ids_flat[top_slots[row]]
+                qlen = int(np.asarray(queries[i]).size)
+                ev, bits, st = _result_stats(
+                    self.db, top_scores[row], msum[row], msumsq[row], qlen)
                 results[i] = SearchResult(
-                    query_title=titles[i],
-                    query_length=int(np.asarray(queries[i]).size),
+                    query_title=titles[i], query_length=qlen,
                     scores=top_scores[row], seq_ids=ids,
                     titles=[self.db.title_of(int(j)) for j in ids],
-                    elapsed=0.0)
+                    elapsed=0.0, evalues=ev, bit_scores=bits, stats=st)
         elapsed = time.perf_counter() - t0
         self.metrics.add("search_batch", elapsed)
         per = elapsed / max(len(queries), 1)

@@ -1,0 +1,138 @@
+"""Significance statistics: Gumbel fit recovery, device-moment parity,
+planted-hit discrimination, engine-path coverage (single/batch/dist/
+host_stream)."""
+
+import numpy as np
+import pytest
+
+from oswald_tpu.stats import fit_gumbel, format_evalue
+from oswald_tpu.io import pack_sequences
+from oswald_tpu.engine import SearchEngine, SearchConfig
+
+from conftest import random_protein
+
+
+def _db(rng, n, lmax=200, planted=None):
+    lengths = rng.integers(20, lmax, size=n)
+    seqs = [random_protein(rng, int(l)) for l in lengths]
+    if planted is not None:
+        seqs[0] = planted
+        lengths[0] = len(planted)
+    return (pack_sequences(np.concatenate(seqs), lengths,
+                           [f"t{i}" for i in range(n)]), seqs, lengths)
+
+
+def test_fit_gumbel_parameter_recovery(rng):
+    """Method-of-moments fit recovers known Gumbel parameters."""
+    lam, mu = 0.3, 25.0
+    x = mu - np.log(-np.log(rng.uniform(size=200_000))) / lam
+    st = fit_gumbel(x.size, x.sum(), (x * x).sum())
+    assert abs(st.lam - lam) / lam < 0.02
+    assert abs(st.mu - mu) < 0.2
+    # tail calibration: empirical P(X >= q99.9) ~ fitted tail_p
+    q = np.quantile(x, 0.999)
+    assert 0.5e-3 < st.tail_p(q) < 2e-3
+
+
+def test_fit_gumbel_guards(rng):
+    assert fit_gumbel(10, 100.0, 2000.0) is None          # too few
+    assert fit_gumbel(1000, 5000.0, 25000.0) is None      # zero variance
+    x = rng.normal(20.0, 3.0, size=1000)
+    st = fit_gumbel(x.size, x.sum(), (x * x).sum(),
+                    exclude_scores=x[:5])
+    want = fit_gumbel(995, x[5:].sum(), (x[5:] ** 2).sum())
+    assert st.n_fit == 995
+    np.testing.assert_allclose(st.lam, want.lam, rtol=1e-9)
+    np.testing.assert_allclose(st.mu, want.mu, rtol=1e-9)
+
+
+def test_format_evalue():
+    assert format_evalue(123.4) == "123"
+    assert format_evalue(0.23) == "0.23"
+    assert format_evalue(3.2e-8) == "3.2e-08"
+    assert format_evalue(float("nan")) == "n/a"
+
+
+def test_engine_moments_match_score_all(rng):
+    """The device-side packed moments equal host-side moments of the full
+    score vector (f32 summation tolerance)."""
+    db, seqs, lengths = _db(rng, 300)
+    eng = SearchEngine(db, SearchConfig(top=5))
+    q = random_protein(rng, 80)
+    res = eng.search(q)
+    flat = np.asarray(eng.score_all(q))
+    valid = eng.ids_flat >= 0
+    sf = flat[valid].astype(np.float64)
+    want_sum, want_sq = sf.sum(), (sf * sf).sum()
+    # reconstruct raw moments: fit excluded the top-k, so invert that here
+    top = np.asarray(res.scores, np.float64)
+    n, s1 = res.stats.n_fit + top.size, 0.0
+    s1 = res.stats.mean * res.stats.n_fit + top.sum()
+    s2 = (res.stats.var + res.stats.mean ** 2) * res.stats.n_fit \
+        + (top * top).sum()
+    assert n == db.n_seqs
+    np.testing.assert_allclose(s1, want_sum, rtol=1e-5)
+    np.testing.assert_allclose(s2, want_sq, rtol=1e-5)
+
+
+def test_planted_hit_significance(rng):
+    """A planted identical sequence must get a tiny E-value; the best
+    random hit must look like chance (E not ridiculously small)."""
+    q = random_protein(rng, 150)
+    db, seqs, lengths = _db(rng, 800, planted=q.copy())
+    eng = SearchEngine(db, SearchConfig(top=5))
+    res = eng.search(q)
+    assert res.titles[0] == "t0"
+    assert res.evalues is not None
+    assert res.evalues[0] < 1e-6
+    assert res.bit_scores[0] > res.bit_scores[1] + 10
+    # second-best is a chance hit drawn from ~800 tries: E in sane range
+    assert res.evalues[1] > 1e-3
+    # E-values ascend as scores descend
+    assert np.all(np.diff(res.evalues) >= 0)
+
+
+def test_small_db_has_no_stats(rng):
+    db, _, _ = _db(rng, 30)
+    eng = SearchEngine(db, SearchConfig(top=5))
+    res = eng.search(random_protein(rng, 40))
+    assert res.stats is None and res.evalues is None
+
+
+def test_batch_and_nonbatch_stats_agree(rng):
+    db, _, _ = _db(rng, 400)
+    eng = SearchEngine(db, SearchConfig(top=4))
+    qs = [random_protein(rng, 60), random_protein(rng, 61),
+          random_protein(rng, 130)]
+    rb = eng.search_many(qs, batch=True)
+    rs = [eng.search(q) for q in qs]
+    for a, b in zip(rb, rs):
+        np.testing.assert_allclose(a.evalues, b.evalues, rtol=1e-4)
+        np.testing.assert_allclose(a.bit_scores, b.bit_scores, rtol=1e-4)
+
+
+def test_host_stream_stats_match_precompute(rng):
+    db, _, _ = _db(rng, 400)
+    q = random_protein(rng, 70)
+    base = SearchEngine(db, SearchConfig(top=4)).search(q)
+    hs = SearchEngine(db, SearchConfig(
+        top=4, profile_mode="host_stream")).search(q)
+    assert hs.stats is not None
+    np.testing.assert_allclose(hs.stats.lam, base.stats.lam, rtol=1e-4)
+    np.testing.assert_allclose(hs.evalues, base.evalues, rtol=1e-3)
+
+
+def test_dist_stats_match_single(rng):
+    from oswald_tpu.dist import DistributedSearchEngine, make_device_mesh
+    db, _, _ = _db(rng, 400)
+    q = random_protein(rng, 70)
+    cfg = SearchConfig(top=4)
+    single = SearchEngine(db, cfg).search(q)
+    deng = DistributedSearchEngine(db, cfg, mesh=make_device_mesh(8))
+    dist = deng.search(q)
+    assert dist.stats is not None
+    np.testing.assert_allclose(dist.stats.lam, single.stats.lam, rtol=1e-4)
+    np.testing.assert_allclose(dist.evalues, single.evalues, rtol=1e-3)
+    # batched dist path too
+    rb = deng.search_many([q, random_protein(rng, 75)], batch=True)
+    np.testing.assert_allclose(rb[0].evalues, single.evalues, rtol=1e-3)
