@@ -42,7 +42,8 @@ from oswald_tpu.kernels import build_profile, noadj_ok, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_stream_impl,
     _search_bin_flat_impl, _search_bin_flat_batch_impl,
-    _search_bin_hostslice_impl, _split_packed, _result_stats, pad_query,
+    _search_bin_hostslice_impl, _split_packed, _result_stats,
+    _db_len_stats, pad_query,
 )
 from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics
@@ -50,19 +51,28 @@ from oswald_tpu.utils.metrics import Metrics
 AXIS = "d"
 
 
-def _psum_moments_col(flat, idsf, ndim):
-    """Mesh-global score moments as one packed int32 column (the dist
-    analog of engine.search._append_moments): sum and sum^2 of the valid
-    local scores, psum'd over the mesh axis so every shard returns the
-    SAME replicated moments, bitcast f32->int32 for concatenation onto the
-    packed candidate array.  flat: [n] or [Q, n] local scores; ndim 2
-    returns [2, 1], ndim 3 returns [2, Q, 1]."""
-    sf = jnp.where(idsf >= 0, flat, 0).astype(jnp.float32)
-    mom = jax.lax.psum(
-        jnp.stack([jnp.sum(sf, axis=-1), jnp.sum(sf * sf, axis=-1)]), AXIS)
-    return jax.lax.bitcast_convert_type(mom, jnp.int32)[..., None] \
-        if ndim == 3 else \
-        jax.lax.bitcast_convert_type(mom, jnp.int32).reshape(2, 1)
+def _psum_moments_col(flat, idsf, lnl_table, ndim):
+    """Mesh-global score moments as packed int32 columns (the dist analog
+    of engine.search._append_moments): sum(S), sum(S^2) and sum(S*lnL)
+    over the valid local scores, psum'd over the mesh axis so every shard
+    returns the SAME replicated moments, bitcast f32->int32 for
+    concatenation onto the packed candidate array.  lnl_table is the
+    REPLICATED per-sorted-id float32 ln-length table; the shard's own ids
+    gather its lnL values, so no per-bin length arrays need sharding.
+    flat: [n] or [Q, n] local scores; ndim 2 returns [2, 2] (layout
+    [[sum, sumsq], [slnl, 0]]), ndim 3 returns [2, Q, 2]."""
+    valid = idsf >= 0
+    sf = jnp.where(valid, flat, 0).astype(jnp.float32)
+    lnl = jnp.where(valid, jnp.take(lnl_table, jnp.maximum(idsf, 0),
+                                    fill_value=0.0), 0.0)
+    parts = [jnp.sum(sf, axis=-1), jnp.sum(sf * sf, axis=-1),
+             jnp.sum(sf * lnl, axis=-1)]
+    mom = jax.lax.psum(jnp.stack(parts + [jnp.zeros_like(parts[0])]), AXIS)
+    if ndim == 3:
+        # [4, Q] -> [2, Q, 2] matching _append_moments' row layout
+        return jax.lax.bitcast_convert_type(mom, jnp.int32) \
+            .reshape(2, 2, -1).transpose(0, 2, 1)
+    return jax.lax.bitcast_convert_type(mom, jnp.int32).reshape(2, 2)
 
 
 @jax.jit
@@ -201,6 +211,14 @@ class DistributedSearchEngine:
         self.seq_stacks = {}
         self.ids = {}
         self._bin_fns = {}
+        # significance-fit state (see engine.search._db_len_stats); the
+        # per-sorted-id ln-length table is replicated on every device so
+        # each shard's moments gather lnL through the ids it already holds
+        lnl_by_id, self._lnl_mom, self._len_hist = _db_len_stats(db)
+        self._lnl_by_id = lnl_by_id
+        self.lnl_table = jax.device_put(
+            lnl_by_id if len(lnl_by_id) else np.zeros(1, np.float32),
+            NamedSharding(self.mesh, P()))
         if self.mode == "host_stream":
             # database larger than the mesh's aggregate HBM budget: groups
             # stay host-side (mmap) and stream through the mesh in
@@ -380,7 +398,7 @@ class DistributedSearchEngine:
         gb, acc, cu, na = (self.config.group_block, self._acc,
                            self.config.col_unroll, self._noadj)
 
-        def local_fn(q_batch, gaps, submat, seq_slice, ids):
+        def local_fn(q_batch, gaps, submat, seq_slice, ids, lnl_table):
             scores = _search_bin_hostslice_impl(
                 q_batch, gaps, submat, seq_slice, u_rows, interpret, gb,
                 acc, cu, na)
@@ -394,16 +412,17 @@ class DistributedSearchEngine:
             all_s = jax.lax.all_gather(loc_s, AXIS, axis=1, tiled=True)
             all_ids = jax.lax.all_gather(loc_ids, AXIS, axis=1, tiled=True)
             top_s, top_i = jax.lax.top_k(all_s, min(k, all_s.shape[1]))
-            # packed int32[2, Q, kk+1] incl. a trailing moments column:
+            # packed int32[2, Q, kk+2] incl. trailing moments columns:
             # one readback transfer (see _bin_fn)
             packed = jnp.stack(
                 [top_s, jnp.take_along_axis(all_ids, top_i, axis=1)])
             return jnp.concatenate(
-                [packed, _psum_moments_col(flat, idsf, 3)], axis=-1)
+                [packed, _psum_moments_col(flat, idsf, lnl_table, 3)],
+                axis=-1)
 
         fn = jax.jit(jax.shard_map(
             local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), P(AXIS), P(AXIS)),
+            in_specs=(P(), P(), P(), P(AXIS), P(AXIS), P()),
             out_specs=P(),
             check_vma=False))
         self._bin_fns[key] = fn
@@ -419,26 +438,29 @@ class DistributedSearchEngine:
         per-chunk clEnqueueWriteBuffer round, FPGAsearch.c:180-237)."""
         Q = qb.shape[0]
         cand_s, cand_i = [], []
-        msum = msumsq = np.zeros(Q, np.float64)
+        msum = msumsq = mslnl = np.zeros(Q, np.float64)
         pending = None
         nxt = self._hs_transfer(*self._hs_slices[0]) if self._hs_slices \
             else None
 
         def _drain(packed):
-            nonlocal msum, msumsq
-            arr = np.asarray(packed)            # [2, Q, kk+1]
-            mom = np.ascontiguousarray(arr[..., -1]).view(np.float32)
-            msum = msum + mom[0].astype(np.float64)
-            msumsq = msumsq + mom[1].astype(np.float64)
-            cand_s.append(arr[0, :, :-1])
-            cand_i.append(arr[1, :, :-1])
+            nonlocal msum, msumsq, mslnl
+            arr = np.asarray(packed)            # [2, Q, kk+2]
+            mom = np.ascontiguousarray(arr[..., -2:]).view(np.float32) \
+                .astype(np.float64)             # [2, Q, 2], _append_moments
+            msum = msum + mom[0, :, 0]
+            msumsq = msumsq + mom[0, :, 1]
+            mslnl = mslnl + mom[1, :, 0]
+            cand_s.append(arr[0, :, :-2])
+            cand_i.append(arr[1, :, :-2])
 
         for i, (L, lo, Gs) in enumerate(self._hs_slices):
             dev = nxt
             nxt = self._hs_transfer(*self._hs_slices[i + 1]) \
                 if i + 1 < len(self._hs_slices) else None
             packed = self._hostslice_fn(L, Gs, k)(
-                qb, self.gaps, self.submat_dev, dev[0], dev[1])
+                qb, self.gaps, self.submat_dev, dev[0], dev[1],
+                self.lnl_table)
             if pending is not None:
                 # blocking readback of slice i-1 (ONE packed transfer): the
                 # backpressure that bounds in-flight slices (and frees HBM)
@@ -448,9 +470,9 @@ class DistributedSearchEngine:
             _drain(pending)
         if not cand_s:
             return (np.zeros((Q, 0), np.int32), np.zeros((Q, 0), np.int32),
-                    msum, msumsq)
+                    msum, msumsq, mslnl)
         return (np.concatenate(cand_s, axis=1),
-                np.concatenate(cand_i, axis=1), msum, msumsq)
+                np.concatenate(cand_i, axis=1), msum, msumsq, mslnl)
 
     def _merge_candidates(self, scores, ids, k: int):
         """Deterministic host merge of one query's candidate union: score
@@ -473,7 +495,7 @@ class DistributedSearchEngine:
         precompute = self.mode == "precompute"
         geom = self.bin_geom.get(L)
 
-        def local_fn(q_pad, gaps, submat, data, ids):
+        def local_fn(q_pad, gaps, submat, data, ids, lnl_table):
             if precompute:
                 prof_flat, tail_flat = data
                 off, C, G_loc, toff = geom
@@ -497,13 +519,14 @@ class DistributedSearchEngine:
             all_s = jax.lax.all_gather(loc_s, AXIS, tiled=True)
             all_ids = jax.lax.all_gather(loc_ids, AXIS, tiled=True)
             top_s, top_i = jax.lax.top_k(all_s, min(k, all_s.shape[0]))
-            # packed int32[2, kk+1] (scores row 0, ids row 1, mesh-global
-            # score moments in the last column): one output array costs ONE
-            # device->host transfer at readback — a tuple costs two round
-            # trips through the remote-TPU tunnel
+            # packed int32[2, kk+2] (scores row 0, ids row 1, mesh-global
+            # score moments in the last columns): one output array costs
+            # ONE device->host transfer at readback — a tuple costs two
+            # round trips through the remote-TPU tunnel
             packed = jnp.stack([top_s, jnp.take(all_ids, top_i)])
             return jnp.concatenate(
-                [packed, _psum_moments_col(flat, idsf, 2)], axis=-1)
+                [packed, _psum_moments_col(flat, idsf, lnl_table, 2)],
+                axis=-1)
 
         # precompute data = (prof_flat, tail_flat): device-major flat rows
         # shard on axis 0; stream data = (main [C, G, ...] on axis 1,
@@ -512,7 +535,7 @@ class DistributedSearchEngine:
             (P(None, AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(
             local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), data_spec, P(AXIS)),
+            in_specs=(P(), P(), P(), data_spec, P(AXIS), P()),
             out_specs=P(),
             check_vma=False))
         self._bin_fns[key] = fn
@@ -526,10 +549,11 @@ class DistributedSearchEngine:
         q_pad = jnp.asarray(self._pad_query(query))
         k = min(self.config.top, max(self.db.n_seqs, 1))
         if self.mode == "host_stream":
-            cs, ci, msum, msumsq = self._host_stream_candidates(
+            cs, ci, msum, msumsq, mslnl = self._host_stream_candidates(
                 q_pad[None], k)
             scores, ids = self._merge_candidates(cs[0], ci[0], k)
-            msum, msumsq = float(msum[0]), float(msumsq[0])
+            msum, msumsq, mslnl = (float(msum[0]), float(msumsq[0]),
+                                   float(mslnl[0]))
         else:
             cands = []
             for L in self.db.bin_lengths:
@@ -538,21 +562,23 @@ class DistributedSearchEngine:
                     self.seq_stacks[L]
                 cands.append(self._bin_fn(L, k)(        # stays on device:
                     q_pad, self.gaps, self.submat_dev,  # all bins dispatch
-                    data, self.ids[L]))                 # before any block
+                    data, self.ids[L], self.lnl_table)) # before any block
             if cands:
-                # one device-side concat of every bin's packed [2, kk+1]
+                # one device-side concat of every bin's packed [2, kk+2]
                 # candidates, then ONE readback for the whole search
                 arr = np.asarray(_concat_cands(*cands))
-                scores, ids, msum, msumsq = _split_packed(
+                scores, ids, msum, msumsq, mslnl = _split_packed(
                     arr, [int(c.shape[-1]) for c in cands])
             else:
                 scores = ids = np.zeros(0, np.int32)
-                msum = msumsq = 0.0
+                msum = msumsq = mslnl = 0.0
             # deterministic merge: score descending, id ascending on ties —
             # identical to a global top_k over the slot-ordered flat scores
             scores, ids = self._merge_candidates(scores, ids, k)
         qlen = int(np.asarray(query).size)
-        ev, bits, st = _result_stats(self.db, scores, msum, msumsq, qlen)
+        ev, bits, st = _result_stats(
+            self.db, self._lnl_by_id, self._lnl_mom, self._len_hist,
+            scores, ids, msum, msumsq, mslnl, qlen)
         elapsed = time.perf_counter() - t0
         self.metrics.add("search", elapsed)
         titles = [self.db.title_of(int(i)) for i in ids]
@@ -572,7 +598,7 @@ class DistributedSearchEngine:
                            self.config.col_unroll, self._noadj)
         geom = self.bin_geom[L]
 
-        def local_fn(q_batch, gaps, submat, data, ids):
+        def local_fn(q_batch, gaps, submat, data, ids, lnl_table):
             prof_flat, tail_flat = data
             off, C, G_loc, toff = geom
             scores = _search_bin_flat_batch_impl(
@@ -589,19 +615,29 @@ class DistributedSearchEngine:
             all_ids = jax.lax.all_gather(loc_ids, AXIS, axis=1, tiled=True)
             top_s, top_i = jax.lax.top_k(all_s,
                                          min(k, all_s.shape[1]))
-            # packed int32[2, Q, kk+1] incl. moments: one readback (_bin_fn)
+            # packed int32[2, Q, kk+2] incl. moments: one readback (_bin_fn)
             packed = jnp.stack(
                 [top_s, jnp.take_along_axis(all_ids, top_i, axis=1)])
             return jnp.concatenate(
-                [packed, _psum_moments_col(flat, idsf, 3)], axis=-1)
+                [packed, _psum_moments_col(flat, idsf, lnl_table, 3)],
+                axis=-1)
 
         fn = jax.jit(jax.shard_map(
             local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), (P(AXIS), P(AXIS)), P(AXIS)),
+            in_specs=(P(), P(), P(), (P(AXIS), P(AXIS)), P(AXIS), P()),
             out_specs=P(),
             check_vma=False))
         self._bin_fns[key] = fn
         return fn
+
+    def align(self, query, result: SearchResult):
+        """Gapped alignments for a SearchResult's hits (host post-pass;
+        see SearchEngine.align).  Multi-host note: every process holds the
+        full packed db mmap, so any process may align, but only rank 0's
+        output is normally printed."""
+        from oswald_tpu.engine.align import align_hits
+        return align_hits(self.db, query, result, self.submat,
+                          self.config.open_gap, self.config.extend_gap)
 
     def search_many(self, queries, titles=None, batch: bool = True):
         """Search a list of queries; with batch=True same-padded-length
@@ -630,34 +666,37 @@ class DistributedSearchEngine:
                 # same-length batch (transfer cost amortised over queries);
                 # the sweep's readback loop is its own backpressure, so
                 # these candidates are already host-side
-                cs, ci, msum, msumsq = self._host_stream_candidates(qb, k)
-                pending.append((idxs, None, cs, ci, msum, msumsq))
+                cs, ci, msum, msumsq, mslnl = \
+                    self._host_stream_candidates(qb, k)
+                pending.append((idxs, None, cs, ci, msum, msumsq, mslnl))
                 continue
             cands = []
             for L in self.db.bin_lengths:
                 data = (self.prof_flat, self.tail_flat)
                 cands.append(self._bin_batch_fn(L, k)(
-                    qb, self.gaps, self.submat_dev, data, self.ids[L]))
-            pending.append((idxs, cands, None, None, None, None))
+                    qb, self.gaps, self.submat_dev, data, self.ids[L],
+                    self.lnl_table))
+            pending.append((idxs, cands, None, None, None, None, None))
 
-        for idxs, cands, scores, ids, msum, msumsq in pending:
+        for idxs, cands, scores, ids, msum, msumsq, mslnl in pending:
             if cands is not None:
                 if cands:
                     # one device concat + ONE readback per padded-length
                     # group (see _bin_fn's packed layout)
                     arr = np.asarray(_concat_cands(*cands))
-                    scores, ids, msum, msumsq = _split_packed(
+                    scores, ids, msum, msumsq, mslnl = _split_packed(
                         arr, [int(c.shape[-1]) for c in cands])
                 else:
                     scores = np.zeros((len(idxs), 0), np.int32)
                     ids = np.zeros((len(idxs), 0), np.int32)
-                    msum = msumsq = np.zeros(len(idxs), np.float64)
+                    msum = msumsq = mslnl = np.zeros(len(idxs), np.float64)
             for row, qi in enumerate(idxs):
                 srow, irow = self._merge_candidates(scores[row], ids[row], k)
                 qlen = int(np.asarray(queries[qi]).size)
                 ev, bits, st = _result_stats(
-                    self.db, srow, float(msum[row]), float(msumsq[row]),
-                    qlen)
+                    self.db, self._lnl_by_id, self._lnl_mom,
+                    self._len_hist, srow, irow, float(msum[row]),
+                    float(msumsq[row]), float(mslnl[row]), qlen)
                 results[qi] = SearchResult(
                     query_title=titles[qi], query_length=qlen,
                     scores=srow, seq_ids=irow,

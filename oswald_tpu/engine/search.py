@@ -26,7 +26,7 @@ from oswald_tpu.submat import get_submat
 from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
 from oswald_tpu.kernels import sw_chunk, build_profile, noadj_ok, CHUNK_WIDTH
 from oswald_tpu.engine.planner import plan_profile_mode
-from oswald_tpu.stats import fit_gumbel
+from oswald_tpu.stats import fit_score_model
 from oswald_tpu.utils.metrics import Metrics
 
 
@@ -157,25 +157,44 @@ class SearchResult:
     stats: object | None = None            # stats.ScoreStats
 
 
-def _result_stats(db, top_scores, msum, msumsq, query_len):
-    """Fit the null model from streamed moments and score the hits.
+def _db_len_stats(db):
+    """Static per-database length terms for the significance fit: the
+    per-sorted-id float32 ln-length table (what the device dots against
+    the scores), its float64 moment pair (sum, sum^2) over all sequences,
+    and the (unique_lengths, counts) histogram the E-value integral uses.
+    """
+    lnl = np.log(np.maximum(np.asarray(db.lengths, np.float64),
+                            1.0)).astype(np.float32)
+    l64 = lnl.astype(np.float64)
+    hist = np.unique(np.asarray(db.lengths), return_counts=True)
+    return lnl, (float(l64.sum()), float((l64 * l64).sum())), hist
 
-    Returns (evalues, bit_scores, ScoreStats|None); the reported hits are
-    excluded from the fit so true positives don't inflate the variance."""
-    st = fit_gumbel(db.n_seqs, msum, msumsq, exclude_scores=top_scores)
+
+def _result_stats(db, lnl_table, lnl_mom, len_hist,
+                  top_scores, top_ids, msum, msumsq, mslnl, query_len):
+    """Fit the length-regressed null model from streamed moments and score
+    the hits.  Returns (evalues, bit_scores, ScoreStats|None); the
+    reported hits (scores AND ln-lengths) are excluded from the fit so
+    true positives can't tilt the trend or inflate the variance."""
+    ids = np.maximum(np.asarray(top_ids, np.int64), 0)
+    st = fit_score_model(db.n_seqs, msum, msumsq, mslnl,
+                         lnl_mom[0], lnl_mom[1],
+                         exclude_scores=top_scores,
+                         exclude_lnl=lnl_table[ids])
     if st is None:
         return None, None, None
-    ev = st.evalues(top_scores, db.n_seqs)
+    ev = st.evalues(top_scores, db.n_seqs, len_hist)
     bits = st.bit_scores(top_scores, query_len,
                          db.n_residues / max(db.n_seqs, 1))
     return ev, bits, st
 
 
-def _host_moments(scores_flat, valid_mask):
-    """Host-side (sum, sum^2) of the valid scores — for the host_stream
-    paths, whose full score vectors are already in host RAM."""
+def _host_moments(scores_flat, valid_mask, lnl_flat):
+    """Host-side (sum, sum^2, sum S*lnL) of the valid scores — for the
+    host_stream paths, whose full score vectors are already in host RAM."""
     sf = np.asarray(scores_flat, np.float64)[..., valid_mask]
-    return sf.sum(-1), (sf * sf).sum(-1)
+    l = np.asarray(lnl_flat, np.float64)[valid_mask]
+    return sf.sum(-1), (sf * sf).sum(-1), (sf * l).sum(-1)
 
 
 def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
@@ -387,59 +406,67 @@ _search_bin_flat_batch = jax.jit(_search_bin_flat_batch_impl,
 _build_profile_jit = jax.jit(build_profile)
 
 
-def _append_moments(packed, scores_flat, valid):
-    """Append one int32 column [bitcast f32 sum(S), bitcast f32 sum(S^2)]
-    over the valid slots to a packed [2, k] top-k array: the score moments
-    feed the host-side extreme-value significance fit (oswald_tpu.stats)
-    and ride the SAME readback as the hits — the full score vector never
-    crosses the host boundary and no extra round trip is paid."""
+def _append_moments(packed, scores_flat, valid, lnl):
+    """Append two int32 columns holding the bitcast f32 score moments
+    [[sum(S), sum(S^2)], [sum(S*lnL), 0]] over the valid slots to a packed
+    [2, k] top-k array: the moments feed the host-side length-regressed
+    extreme-value significance fit (oswald_tpu.stats) and ride the SAME
+    readback as the hits — the full score vector never crosses the host
+    boundary and no extra round trip is paid."""
     sf = jnp.where(valid, scores_flat, 0).astype(jnp.float32)
-    mom = jnp.stack([jnp.sum(sf), jnp.sum(sf * sf)])
-    col = jax.lax.bitcast_convert_type(mom, jnp.int32).reshape(2, 1)
-    return jnp.concatenate([packed, col], axis=1)
+    mom = jnp.stack([jnp.sum(sf), jnp.sum(sf * sf),
+                     jnp.sum(sf * lnl), jnp.zeros((), jnp.float32)])
+    cols = jax.lax.bitcast_convert_type(mom, jnp.int32).reshape(2, 2)
+    return jnp.concatenate([packed, cols], axis=1)
 
 
 def _unpack_topk(arr):
-    """Host unpack of a packed readback int32[..., 2, k+1] ->
-    (scores[..., k], slots[..., k], sum[...], sumsq[...])."""
-    mom = np.ascontiguousarray(arr[..., :, -1]).view(np.float32)
-    return (arr[..., 0, :-1], arr[..., 1, :-1],
-            mom[..., 0].astype(np.float64), mom[..., 1].astype(np.float64))
+    """Host unpack of a packed readback int32[..., 2, k+2] ->
+    (scores[..., k], slots[..., k], sum[...], sumsq[...], slnl[...])."""
+    mom = np.ascontiguousarray(arr[..., :, -2:]).view(np.float32)
+    return (arr[..., 0, :-2], arr[..., 1, :-2],
+            mom[..., 0, 0].astype(np.float64),
+            mom[..., 0, 1].astype(np.float64),
+            mom[..., 1, 0].astype(np.float64))
 
 
 def _split_packed(arr, widths):
     """Split a host-side concatenation of per-bin packed candidate arrays
     ([2, W] or [2, Q, W] int32, each bin contributing widths[i] columns
-    whose LAST column is its bitcast moments — see _append_moments) into
-    (scores, ids, msum, msumsq): candidates re-concatenated without the
-    moments columns, moments summed over bins (scalars for [2, W],
-    per-query float64 arrays for [2, Q, W])."""
+    whose last TWO columns are its bitcast moments — see _append_moments)
+    into (scores, ids, msum, msumsq, mslnl): candidates re-concatenated
+    without the moments columns, moments summed over bins (scalars for
+    [2, W], per-query float64 arrays for [2, Q, W])."""
     s_parts, i_parts = [], []
-    msum = msumsq = 0.0
+    msum = msumsq = mslnl = 0.0
     off = 0
     for w in widths:
         seg = arr[..., off:off + w]
-        mom = np.ascontiguousarray(seg[..., -1]).view(np.float32)
-        msum = msum + mom[0].astype(np.float64)
-        msumsq = msumsq + mom[1].astype(np.float64)
-        s_parts.append(seg[0, ..., :-1])
-        i_parts.append(seg[1, ..., :-1])
+        # [2, 2] or [2, Q, 2]: [0, ..., 0]=sum, [0, ..., 1]=sumsq,
+        # [1, ..., 0]=slnl (see _append_moments)
+        mom = np.ascontiguousarray(seg[..., -2:]).view(np.float32) \
+            .astype(np.float64)
+        msum = msum + mom[0, ..., 0]
+        msumsq = msumsq + mom[0, ..., 1]
+        mslnl = mslnl + mom[1, ..., 0]
+        s_parts.append(seg[0, ..., :-2])
+        i_parts.append(seg[1, ..., :-2])
         off += w
     return (np.concatenate(s_parts, axis=-1),
-            np.concatenate(i_parts, axis=-1), msum, msumsq)
+            np.concatenate(i_parts, axis=-1), msum, msumsq, mslnl)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _topk(scores_flat, valid, k):
-    """Masked top-k, PACKED as one int32[2, k+1] array (scores row 0, slot
-    indices row 1, score moments in the last column — see _append_moments).
+def _topk(scores_flat, valid, lnl, k):
+    """Masked top-k, PACKED as one int32[2, k+2] array (scores row 0, slot
+    indices row 1, score moments in the last columns — _append_moments).
     One output array means ONE device->host transfer; a (values, indices)
     tuple costs two round trips through the remote-TPU tunnel (~28 ms
     each), which dominates short-query searches."""
     masked = jnp.where(valid, scores_flat, -1)
     vals, idx = jax.lax.top_k(masked, k)
     packed = jnp.stack([vals.astype(jnp.int32), idx.astype(jnp.int32)])
-    return _append_moments(packed, scores_flat, valid)
+    return _append_moments(packed, scores_flat, valid, lnl)
 
 
 def _host_topk(scores_flat, ids_flat, k):
@@ -583,6 +610,16 @@ class SearchEngine:
             np.zeros((0,), np.int32)
         self.valid = jnp.asarray(self.ids_flat >= 0)
         self.n_slots = int(self.valid.shape[0])
+        # significance-fit state: per-slot ln(subject length) (0 on padding
+        # slots), the static ln-length moments, and the length histogram
+        # for the E-value integral (oswald_tpu.stats)
+        lnl_by_id, self._lnl_mom, self._len_hist = _db_len_stats(db)
+        self._lnl_by_id = lnl_by_id
+        self.lnl_flat = np.where(
+            self.ids_flat >= 0,
+            lnl_by_id[np.maximum(self.ids_flat, 0)] if len(lnl_by_id)
+            else 0.0, 0.0).astype(np.float32)
+        self.lnl = jnp.asarray(self.lnl_flat)
         self._search_fns = {}
         self.metrics.add("engine_setup", time.perf_counter() - t_setup)
 
@@ -671,7 +708,7 @@ class SearchEngine:
         bin_geom = dict(self.bin_geom)
 
         @jax.jit
-        def f(q_pad, gaps, submat, stacks, valid):
+        def f(q_pad, gaps, submat, stacks, valid, lnl):
             outs = []
             for L in bin_lengths:
                 if precompute:
@@ -690,9 +727,9 @@ class SearchEngine:
                 jnp.zeros((0,), jnp.int32)
             masked = jnp.where(valid, flat, -1)
             vals, idx = jax.lax.top_k(masked, k)
-            # packed [2, k+1] incl. score moments: one readback (see _topk)
+            # packed [2, k+2] incl. score moments: one readback (see _topk)
             return _append_moments(
-                jnp.stack([vals, idx.astype(jnp.int32)]), flat, valid)
+                jnp.stack([vals, idx.astype(jnp.int32)]), flat, valid, lnl)
 
         self._search_fns[k] = f
         return f
@@ -733,7 +770,8 @@ class SearchEngine:
             scores = self._host_stream_scores(
                 jnp.asarray(self._pad_query(query))[None])[0]
             top_scores, top_slots = _host_topk(scores, self.ids_flat, k)
-            msum, msumsq = _host_moments(scores, self.ids_flat >= 0)
+            msum, msumsq, mslnl = _host_moments(
+                scores, self.ids_flat >= 0, self.lnl_flat)
         else:
             q_pad_np = self._pad_query(query)
             fused = self.config.fused_dispatch
@@ -745,18 +783,21 @@ class SearchEngine:
                 stacks = (self.prof_flat, self.tail_flat) if \
                     self.mode == "precompute" else self.seq_stacks
                 packed = self._search_fn(k)(
-                    q_pad, self.gaps, self.submat_dev, stacks, self.valid)
+                    q_pad, self.gaps, self.submat_dev, stacks, self.valid,
+                    self.lnl)
             else:
                 scores = self.score_all(query)
-                packed = _topk(scores, self.valid, k)
+                packed = _topk(scores, self.valid, self.lnl, k)
             packed = np.asarray(packed)      # the ONE blocking readback
-            top_scores, top_slots, msum, msumsq = _unpack_topk(packed)
+            top_scores, top_slots, msum, msumsq, mslnl = _unpack_topk(packed)
         top_scores = np.asarray(top_scores)
         # slots -> sorted-sequence ids (slot order preserves id order, so
         # top_k's lowest-index tie-break is a lowest-id tie-break)
         top_ids = self.ids_flat[np.asarray(top_slots)]
         qlen = int(np.asarray(query).size)
-        ev, bits, st = _result_stats(self.db, top_scores, msum, msumsq, qlen)
+        ev, bits, st = _result_stats(
+            self.db, self._lnl_by_id, self._lnl_mom, self._len_hist,
+            top_scores, top_ids, msum, msumsq, mslnl, qlen)
         elapsed = time.perf_counter() - t0
         self.metrics.add("search", elapsed)
         titles = [self.db.title_of(int(i)) for i in top_ids]
@@ -782,6 +823,14 @@ class SearchEngine:
             m = m_pad + 1
         self.metrics.add("warmup", 0.0)
         return m_pads
+
+    def align(self, query, result: SearchResult):
+        """Gapped alignments (traceback) for a SearchResult's hits — a
+        host-side post-pass over the k reported sequences only (see
+        engine/align.py).  Returns [align.Alignment]."""
+        from oswald_tpu.engine.align import align_hits
+        return align_hits(self.db, query, result, self.submat,
+                          self.config.open_gap, self.config.extend_gap)
 
     def search_many(self, queries, titles=None, batch: bool = True):
         """Search a list of queries.  With batch=True (default) queries are
@@ -819,7 +868,8 @@ class SearchEngine:
                 for row in range(len(idxs)):
                     top_scores[row], top_slots[row] = _host_topk(
                         flat_np[row], self.ids_flat, k)
-                msum, msumsq = _host_moments(flat_np, self.ids_flat >= 0)
+                msum, msumsq, mslnl = _host_moments(
+                    flat_np, self.ids_flat >= 0, self.lnl_flat)
             else:
                 outs = []
                 for L in self.db.bin_lengths:
@@ -836,23 +886,26 @@ class SearchEngine:
                         noadj=self._noadj)
                     outs.append(s.reshape(len(idxs), -1))
                 packed = jax.vmap(
-                    lambda sc: _topk(sc, self.valid, k))(
-                        jnp.concatenate(outs, axis=1))      # [Q, 2, k+1]
-                top_scores = top_slots = msum = msumsq = None
+                    lambda sc: _topk(sc, self.valid, self.lnl, k))(
+                        jnp.concatenate(outs, axis=1))      # [Q, 2, k+2]
+                top_scores = top_slots = msum = msumsq = mslnl = None
             pending.append((idxs, packed, top_scores, top_slots,
-                            msum, msumsq))
+                            msum, msumsq, mslnl))
 
-        for idxs, packed, top_scores, top_slots, msum, msumsq in pending:
+        for idxs, packed, top_scores, top_slots, msum, msumsq, mslnl \
+                in pending:
             if top_scores is None:
                 # one packed readback per group (scores+slots+moments,
                 # a single tunnel round trip — see _topk)
-                top_scores, top_slots, msum, msumsq = _unpack_topk(
+                top_scores, top_slots, msum, msumsq, mslnl = _unpack_topk(
                     np.asarray(packed))
             for row, i in enumerate(idxs):
                 ids = self.ids_flat[top_slots[row]]
                 qlen = int(np.asarray(queries[i]).size)
                 ev, bits, st = _result_stats(
-                    self.db, top_scores[row], msum[row], msumsq[row], qlen)
+                    self.db, self._lnl_by_id, self._lnl_mom, self._len_hist,
+                    top_scores[row], ids, msum[row], msumsq[row],
+                    mslnl[row], qlen)
                 results[i] = SearchResult(
                     query_title=titles[i], query_length=qlen,
                     scores=top_scores[row], seq_ids=ids,

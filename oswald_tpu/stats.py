@@ -4,27 +4,32 @@ The reference reports raw Smith-Waterman scores only
 (/root/reference/host/src/FPGAsearch.c:306-321); real search tools
 (SSEARCH, BLAST) report the statistical significance of each hit.  Gapped
 alignment scores have no analytic Karlin-Altschul parameters, so we do what
-SSEARCH does: fit an extreme-value (Gumbel) distribution to the observed
-score distribution of THIS query against THIS database — which the engine
-has already computed for every sequence — and derive E-values from the fit.
+SSEARCH does: model the observed score distribution of THIS query against
+THIS database — which the engine has already computed for every sequence —
+and derive E-values from the fit.
 
-TPU-native twist: the fit needs only the count and the first two moments of
-the scores, so the device piggybacks sum(S) and sum(S^2) (float32) onto the
-packed top-k readback (engine/search.py:_topk) and the full score vector
-never crosses the host boundary.  The k reported hits are excluded from the
-fit host-side (their exact values are in the same packed array), so a few
-strong true positives cannot inflate the null variance.
+The model, following Pearson's SSEARCH statistics: chance scores grow with
+the logarithm of subject length, so
 
-Method-of-moments Gumbel fit: for S ~ Gumbel(mu, 1/lambda),
-  E[S] = mu + gamma/lambda,  Var[S] = pi^2 / (6 lambda^2)
-=>  lambda = pi / sqrt(6 Var),  mu = mean - gamma/lambda.
-E-value of score s over a database of N sequences:
-  E = N * P(S >= s) = N * (1 - exp(-exp(-lambda (s - mu)))).
-Known simplification vs SSEARCH: no regression of score on ln(subject
-length) — the fit pools all lengths, which widens the variance and makes
-the E-values conservative for short subjects.  Bit scores use the
-Karlin-Altschul identification K*m*n = exp(lambda*mu):
-  S_bits = (lambda s - ln K) / ln 2.
+    S_j  =  a + b * ln(L_j)  +  G_j,     G ~ Gumbel(-gamma/lambda, 1/lambda)
+
+The (a, b) trend is a least-squares regression, the residual scale comes
+from a method-of-moments Gumbel fit (Var[G] = pi^2 / (6 lambda^2)), and the
+E-value integrates the per-sequence tail over the database's true length
+spectrum:
+
+    E(s) = sum_j P(S_j >= s) = sum_L count(L) * p_tail(s; a + b lnL)
+
+TPU-native twist: everything the fit needs is three score moments —
+sum(S), sum(S^2), sum(S * lnL) — which the device piggybacks (float32,
+psum'd across mesh shards) onto the packed top-k readback
+(engine/search.py:_append_moments), so the full score vector never crosses
+the host boundary.  The ln-length moments are static per database.  The k
+reported hits are excluded from the fit host-side (their exact scores and
+lengths are known), so a few strong true positives cannot tilt the trend
+or inflate the null variance.  Databases with a single distinct length (or
+too few sequences) degrade gracefully: the slope drops to 0 (a plain
+pooled Gumbel fit), then to no statistics at all.
 """
 
 import dataclasses
@@ -40,56 +45,102 @@ _MIN_FIT_N = 50                      # fewer sequences: no meaningful fit
 class ScoreStats:
     """Fitted null-score model for one (query, database) search."""
     n_fit: int          # sequences in the fit (top-k hits excluded)
-    mean: float
-    var: float
-    lam: float          # Gumbel rate (lambda)
-    mu: float           # Gumbel location
+    mean: float         # mean score over the fit set
+    var: float          # RESIDUAL score variance (after the lnL trend)
+    lam: float          # Gumbel rate (lambda) of the residuals
+    a: float            # regression intercept
+    b: float            # score-vs-ln(subject length) slope
+    mu: float           # pooled Gumbel location (= location at the mean
+                        # lnL); used when subject lengths are unknown
 
-    def tail_p(self, scores) -> np.ndarray:
-        """Per-sequence P(S >= s) under the fitted null."""
+    def _loc(self, lnl):
+        """Gumbel location parameter for subjects of ln-length lnl."""
+        return self.a + self.b * lnl - _GAMMA / self.lam
+
+    def tail_p(self, scores, lnl=None) -> np.ndarray:
+        """Per-sequence P(S >= s) under the fitted null; lnl (ln subject
+        length, broadcastable) selects the length-conditional null, else
+        the pooled location is used."""
         s = np.asarray(scores, np.float64)
-        return -np.expm1(-np.exp(-self.lam * (s - self.mu)))
+        loc = self.mu if lnl is None else self._loc(np.asarray(lnl))
+        return -np.expm1(-np.exp(np.minimum(-self.lam * (s - loc), 30.0)))
 
-    def evalues(self, scores, n_db: int) -> np.ndarray:
-        """Expected chance hits >= s in a database of n_db sequences."""
-        return n_db * self.tail_p(scores)
+    def evalues(self, scores, n_db: int, len_hist=None) -> np.ndarray:
+        """Expected chance hits >= s across the database.
+
+        len_hist: optional (unique_lengths, counts) of the database's true
+        sequence lengths — integrates the tail over the length spectrum
+        (unique protein lengths number in the thousands, so this is O(k *
+        n_unique), independent of database size).  Without it the pooled
+        location is used for all n_db sequences."""
+        s = np.asarray(scores, np.float64)
+        if len_hist is None:
+            return n_db * self.tail_p(s)
+        uniq, counts = len_hist
+        lnl = np.log(np.maximum(np.asarray(uniq, np.float64), 1.0))
+        p = self.tail_p(s[:, None], lnl[None, :])        # [k, n_unique]
+        return p @ np.asarray(counts, np.float64)
 
     def bit_scores(self, scores, m: int, n_avg: float) -> np.ndarray:
-        """Normalised (bit) scores via K*m*n_avg = exp(lambda*mu):
-        bits = (lambda*s - ln K) / ln 2 where m = query length and n_avg =
-        mean database sequence length."""
+        """Normalised (bit) scores via the Karlin-Altschul identification
+        K*m*n_avg = exp(lambda*mu): bits = (lambda*s - ln K) / ln 2, with
+        m = query length and n_avg = mean database sequence length."""
         s = np.asarray(scores, np.float64)
         ln_k = self.lam * self.mu - math.log(max(m, 1) * max(n_avg, 1.0))
         return (self.lam * s - ln_k) / math.log(2.0)
 
 
-def fit_gumbel(n_valid: int, score_sum: float, score_sumsq: float,
-               exclude_scores=None) -> ScoreStats | None:
-    """Method-of-moments Gumbel fit from streaming moments.
+def fit_score_model(n_valid: int, s1: float, s2: float, s_lnl: float,
+                    lnl1: float, lnl2: float,
+                    exclude_scores=None, exclude_lnl=None):
+    """Length-regressed extreme-value fit from streaming moments.
 
-    n_valid / score_sum / score_sumsq: count and moments over every real
-    (non-padding) database sequence's score.  exclude_scores: the reported
-    top-k hit scores, removed from the moments so true positives do not
-    contaminate the null fit.  Returns None when too few sequences remain
-    or the variance is degenerate (constant scores).
-    """
+    n_valid, s1, s2, s_lnl: count, sum(S), sum(S^2), sum(S*lnL) over every
+    real database sequence's score (device-accumulated).  lnl1, lnl2:
+    sum(lnL), sum(lnL^2) — static per database.  exclude_scores /
+    exclude_lnl: the reported hits' scores and ln-lengths, removed from
+    every moment.  Returns ScoreStats or None (too few sequences, or
+    degenerate residual variance)."""
     n = int(n_valid)
-    s1 = float(score_sum)
-    s2 = float(score_sumsq)
+    s1, s2, s_lnl = float(s1), float(s2), float(s_lnl)
+    lnl1, lnl2 = float(lnl1), float(lnl2)
     if exclude_scores is not None and len(exclude_scores):
         ex = np.asarray(exclude_scores, np.float64)
+        exl = np.asarray(exclude_lnl, np.float64)
         n -= ex.size
         s1 -= float(ex.sum())
         s2 -= float((ex * ex).sum())
+        s_lnl -= float((ex * exl).sum())
+        lnl1 -= float(exl.sum())
+        lnl2 -= float((exl * exl).sum())
     if n < _MIN_FIT_N:
         return None
-    mean = s1 / n
-    var = max(s2 / n - mean * mean, 0.0)
-    if var <= 0.0:
+    mean_s = s1 / n
+    mean_l = lnl1 / n
+    var_s = max(s2 / n - mean_s * mean_s, 0.0)
+    var_l = max(lnl2 / n - mean_l * mean_l, 0.0)
+    cov = s_lnl / n - mean_s * mean_l
+    # single distinct length (or numerically so): pooled fit, slope 0
+    b = cov / var_l if var_l > 1e-12 else 0.0
+    var_resid = max(var_s - b * cov, 0.0) if b else var_s
+    if var_resid <= 0.0:
         return None
-    lam = math.pi / math.sqrt(6.0 * var)
-    mu = mean - _GAMMA / lam
-    return ScoreStats(n_fit=n, mean=mean, var=var, lam=lam, mu=mu)
+    a = mean_s - b * mean_l
+    lam = math.pi / math.sqrt(6.0 * var_resid)
+    mu = mean_s - _GAMMA / lam               # pooled location
+    return ScoreStats(n_fit=n, mean=mean_s, var=var_resid, lam=lam,
+                      a=a, b=b, mu=mu)
+
+
+def fit_gumbel(n_valid: int, score_sum: float, score_sumsq: float,
+               exclude_scores=None) -> ScoreStats | None:
+    """Pooled (no length trend) method-of-moments Gumbel fit — the
+    fit_score_model special case with zero ln-length information."""
+    ex = exclude_scores
+    return fit_score_model(n_valid, score_sum, score_sumsq, 0.0, 0.0, 0.0,
+                           exclude_scores=ex,
+                           exclude_lnl=np.zeros(len(ex)) if ex is not None
+                           else None)
 
 
 def format_evalue(e: float) -> str:

@@ -5,7 +5,7 @@ host_stream)."""
 import numpy as np
 import pytest
 
-from oswald_tpu.stats import fit_gumbel, format_evalue
+from oswald_tpu.stats import fit_gumbel, fit_score_model, format_evalue
 from oswald_tpu.io import pack_sequences
 from oswald_tpu.engine import SearchEngine, SearchConfig
 
@@ -53,9 +53,29 @@ def test_format_evalue():
     assert format_evalue(float("nan")) == "n/a"
 
 
-def test_engine_moments_match_score_all(rng):
-    """The device-side packed moments equal host-side moments of the full
-    score vector (f32 summation tolerance)."""
+def test_fit_score_model_slope_recovery(rng):
+    """The length regression recovers a planted score-vs-lnL trend and the
+    residual Gumbel scale."""
+    n = 100_000
+    lnl = np.log(rng.integers(30, 3000, size=n).astype(np.float64))
+    a, b, lam = 12.0, 6.0, 0.35
+    g = -np.log(-np.log(rng.uniform(size=n))) / lam - 0.5772156649 / lam
+    s = a + b * lnl + g
+    st = fit_score_model(n, s.sum(), (s * s).sum(), (s * lnl).sum(),
+                         lnl.sum(), (lnl * lnl).sum())
+    assert abs(st.b - b) < 0.1
+    assert abs(st.a - a) < 0.5
+    assert abs(st.lam - lam) / lam < 0.02
+    # degenerate: single distinct length -> slope 0, pooled fit
+    l0 = np.full(n, np.log(100.0))
+    st0 = fit_score_model(n, s.sum(), (s * s).sum(), (s * l0).sum(),
+                          l0.sum(), (l0 * l0).sum())
+    assert st0.b == 0.0 and st0.var > 0
+
+
+def test_engine_stats_match_host_fit(rng):
+    """The device-side packed moments reproduce a fully host-computed fit
+    over score_all (f32 summation tolerance), including the lnL moment."""
     db, seqs, lengths = _db(rng, 300)
     eng = SearchEngine(db, SearchConfig(top=5))
     q = random_protein(rng, 80)
@@ -63,16 +83,16 @@ def test_engine_moments_match_score_all(rng):
     flat = np.asarray(eng.score_all(q))
     valid = eng.ids_flat >= 0
     sf = flat[valid].astype(np.float64)
-    want_sum, want_sq = sf.sum(), (sf * sf).sum()
-    # reconstruct raw moments: fit excluded the top-k, so invert that here
-    top = np.asarray(res.scores, np.float64)
-    n, s1 = res.stats.n_fit + top.size, 0.0
-    s1 = res.stats.mean * res.stats.n_fit + top.sum()
-    s2 = (res.stats.var + res.stats.mean ** 2) * res.stats.n_fit \
-        + (top * top).sum()
-    assert n == db.n_seqs
-    np.testing.assert_allclose(s1, want_sum, rtol=1e-5)
-    np.testing.assert_allclose(s2, want_sq, rtol=1e-5)
+    lnl = eng.lnl_flat[valid].astype(np.float64)
+    ids = eng.ids_flat[valid]
+    top_lnl = eng._lnl_by_id[np.asarray(res.seq_ids)]
+    want = fit_score_model(
+        db.n_seqs, sf.sum(), (sf * sf).sum(), (sf * lnl).sum(),
+        lnl.sum(), (lnl * lnl).sum(),
+        exclude_scores=res.scores, exclude_lnl=top_lnl)
+    np.testing.assert_allclose(res.stats.lam, want.lam, rtol=1e-4)
+    np.testing.assert_allclose(res.stats.b, want.b, rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(res.stats.mu, want.mu, rtol=1e-4)
 
 
 def test_planted_hit_significance(rng):
