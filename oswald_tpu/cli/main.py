@@ -80,6 +80,11 @@ def _add_search_args(sp):
                     help="print a gapped alignment (traceback) for every "
                          "reported hit — a host-side post-pass over the "
                          "top-k only (the reference is score-only)")
+    sp.add_argument("-H", "--histogram", action="store_true",
+                    help="print the observed score histogram per query "
+                         "with the expected chance counts under the "
+                         "fitted null model (single-chip text mode; "
+                         "re-scores the database once per query)")
 
 
 def build_parser():
@@ -236,6 +241,17 @@ def cmd_search(args):
             print("\nScore\tSequence description")
             for sc, title in zip(res.scores, res.titles):
                 print(f"{int(sc)}\t{title}")
+        if args.histogram:
+            if hasattr(engine, "score_all"):
+                import numpy as np
+                from oswald_tpu.stats import histogram_report
+                flat = np.asarray(engine.score_all(queries[i]))
+                print("\n" + histogram_report(
+                    flat[engine.ids_flat >= 0], res.stats,
+                    engine._len_hist), end="")
+            else:
+                print("\n(--histogram: single-chip engine only; rerun "
+                      "with --devices 1)", file=sys.stderr)
         if alignments is not None:
             from oswald_tpu.engine.align import format_alignment
             for title, aln in zip(res.titles, alignments[i]):

@@ -143,6 +143,43 @@ def fit_gumbel(n_valid: int, score_sum: float, score_sumsq: float,
                            else None)
 
 
+def histogram_report(scores, stats: ScoreStats | None = None,
+                     len_hist=None, max_rows: int = 30,
+                     bar_width: int = 50) -> str:
+    """SSEARCH-style observed-vs-expected score histogram.
+
+    scores: every real database sequence's score (host vector).  When a
+    fitted ScoreStats is given, each bucket also shows the expected chance
+    count under the null model (E(s_lo) - E(s_hi), integrated over
+    len_hist), an '=' bar for observed and a '*' at the expected count —
+    the visual check that the significance fit tracks the data."""
+    s = np.asarray(scores)
+    if s.size == 0:
+        return " (no scores)\n"
+    lo, hi = int(s.min()), int(s.max())
+    step = max(1, -(-(hi - lo + 1) // max_rows))
+    edges = np.arange(lo, hi + step + 1, step)
+    obs, _ = np.histogram(s, bins=edges)
+    exp = None
+    if stats is not None:
+        tail = stats.evalues(edges.astype(np.float64), s.size, len_hist)
+        exp = tail[:-1] - tail[1:]
+    peak = max(obs.max(), 1)
+    lines = [" score  obs     exp"]
+    for i, n_obs in enumerate(obs):
+        e_txt = f"{exp[i]:7.1f}" if exp is not None else "      -"
+        bar_n = round(bar_width * n_obs / peak)
+        bar = list("=" * bar_n + " " * (bar_width - bar_n))
+        if exp is not None:
+            star = min(round(bar_width * exp[i] / peak), bar_width)
+            bar[star - 1 if star else 0] = "*"
+        lines.append(f"{edges[i]:6d} {n_obs:7d} {e_txt} {''.join(bar)}")
+    if exp is not None:
+        lines.append(f" (obs {int(obs.sum())} seqs; exp sums to "
+                     f"{exp.sum():.0f} under the fitted null)")
+    return "\n".join(lines) + "\n"
+
+
 def format_evalue(e: float) -> str:
     """BLAST-style compact E-value rendering."""
     if e != e:                                   # NaN

@@ -156,3 +156,41 @@ def test_dist_stats_match_single(rng):
     # batched dist path too
     rb = deng.search_many([q, random_protein(rng, 75)], batch=True)
     np.testing.assert_allclose(rb[0].evalues, single.evalues, rtol=1e-3)
+
+
+def test_histogram_report(rng):
+    """Histogram buckets cover every sequence and the expected counts
+    under the fitted null roughly track the observed null distribution."""
+    from oswald_tpu.stats import histogram_report
+    db, _, _ = _db(rng, 600)
+    eng = SearchEngine(db, SearchConfig(top=5))
+    q = random_protein(rng, 90)
+    res = eng.search(q)
+    flat = np.asarray(eng.score_all(q))[eng.ids_flat >= 0]
+    txt = histogram_report(flat, res.stats, eng._len_hist)
+    assert "score  obs" in txt and "*" in txt
+    # every sequence counted
+    assert f"obs {db.n_seqs} seqs" in txt
+    # the fitted expectation integrates to ~n over the support
+    import re
+    m = re.search(r"exp sums to (\d+)", txt)
+    assert m and abs(int(m.group(1)) - db.n_seqs) / db.n_seqs < 0.25
+
+
+def test_cli_histogram(tmp_path, rng, capsys):
+    from oswald_tpu.alphabet import ALPHABET
+    from oswald_tpu.cli import main
+    seqs = [random_protein(rng, int(l))
+            for l in rng.integers(30, 150, size=120)]
+    with open(tmp_path / "db.fasta", "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">s{i}\n" + "".join(ALPHABET[c] for c in s) + "\n")
+    with open(tmp_path / "q.fasta", "w") as f:
+        f.write(">hq\n" + "".join(ALPHABET[c] for c in seqs[3][:40]) + "\n")
+    assert main(["preprocess", "-i", str(tmp_path / "db.fasta"),
+                 "-o", str(tmp_path / "db")]) == 0
+    assert main(["search", "-q", str(tmp_path / "q.fasta"),
+                 "-d", str(tmp_path / "db"), "-r", "3", "-H",
+                 "--devices", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "score  obs" in out and "obs 120 seqs" in out
