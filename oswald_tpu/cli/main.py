@@ -185,10 +185,9 @@ def cmd_search(args):
 
     alignments = None
     if args.align:
-        from oswald_tpu.engine.align import align_hits
-        sub = get_submat(args.sm)
-        alignments = [align_hits(db, q, res, sub, args.gap_open,
-                                 args.gap_extend)
+        # engine.align guarantees the traceback scores with the engine's
+        # own matrix/gap config (identical to the search's)
+        alignments = [engine.align(q, res)
                       for q, res in zip(queries, results)]
 
     if args.json:

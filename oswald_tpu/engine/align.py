@@ -205,9 +205,13 @@ def format_alignment(aln: Alignment, width: int = 60) -> str:
         ss = aln.s_aln[o:o + width]
         qn = sum(1 for c in qs if c != "-")
         sn = sum(1 for c in ss if c != "-")
-        lines.append(f" Query {qp:>5} {qs} {qp + qn - 1}")
+        # an all-gap row consumes nothing: label both ends with the last
+        # consumed coordinate instead of an inverted start > end range
+        q0, q1 = (qp, qp + qn - 1) if qn else (qp - 1, qp - 1)
+        s0, s1 = (sp, sp + sn - 1) if sn else (sp - 1, sp - 1)
+        lines.append(f" Query {q0:>5} {qs} {q1}")
         lines.append(f"       {'':>5} {ms}")
-        lines.append(f" Sbjct {sp:>5} {ss} {sp + sn - 1}")
+        lines.append(f" Sbjct {s0:>5} {ss} {s1}")
         qp += qn
         sp += sn
     return "\n".join(lines) + "\n"

@@ -98,7 +98,13 @@ class PackedDB:
         slot = sorted_id - first_id
         su, la = slot // LANES, slot % LANES
         b = self.bins[L]
-        assert int(b["id"][g, su, la]) == sorted_id, (sorted_id, L, g, slot)
+        if int(b["id"][g, su, la]) != sorted_id:
+            # explicit raise (not assert): under `python -O` a layout
+            # mismatch would silently return the WRONG sequence
+            raise ValueError(
+                f"packed-db layout mismatch resolving sequence {sorted_id} "
+                f"(bin {L}, group {g}, slot {slot}) — corrupted or "
+                "incompatible artifact")
         n = int(b["len"][g, su, la])
         return np.asarray(b["seq"][g, :n, su, la])
 

@@ -171,8 +171,13 @@ def histogram_report(scores, stats: ScoreStats | None = None,
         bar_n = round(bar_width * n_obs / peak)
         bar = list("=" * bar_n + " " * (bar_width - bar_n))
         if exp is not None:
+            # '*' marks the expected count; when it rounds below one cell
+            # draw it only over an empty bar (never clobber observed '=')
             star = min(round(bar_width * exp[i] / peak), bar_width)
-            bar[star - 1 if star else 0] = "*"
+            if star > 0:
+                bar[star - 1] = "*"
+            elif n_obs == 0:
+                bar[0] = "*"
         lines.append(f"{edges[i]:6d} {n_obs:7d} {e_txt} {''.join(bar)}")
     if exp is not None:
         lines.append(f" (obs {int(obs.sum())} seqs; exp sums to "
