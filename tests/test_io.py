@@ -196,3 +196,55 @@ def test_partition_bins_run_compression_exact():
         # both must be valid nondecreasing paddings covering every group
         assert all(f >= L for f, L in zip(fast, Ls))
         assert cost(fast, Ls, lanes, bc) == cost(slow, Ls, lanes, bc)
+
+
+def test_parser_differential_fuzz(rng):
+    """Differential fuzzing: the native C++ parser and the numpy parser
+    must agree bit-for-bit (titles, residues, lengths) — or both reject —
+    on randomly mutated FASTA bytes.  Catches native/fallback divergence
+    on malformed input (truncated records, headers mid-line, control
+    bytes, empty records)."""
+    from oswald_tpu.io import native
+    if not native.available():
+        pytest.skip("native IO library not built")
+
+    base = bytearray()
+    for i in range(20):
+        base += b">rec%d desc %d\n" % (i, i)
+        s = random_protein(rng, int(rng.integers(1, 80)))
+        base += decode(s).encode() + b"\n"
+    base = bytes(base)
+
+    junk = [0x3E, 0x0A, 0x0D, 0x00, 0x20, 0x2A, 0x61, 0x5A, 0xFF]
+    for trial in range(200):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 8))):
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(0, len(data))) if len(data) else 0
+            if op == 0 and len(data):
+                data[pos] = junk[int(rng.integers(0, len(junk)))]
+            elif op == 1:
+                data[pos:pos] = bytes([junk[int(rng.integers(0,
+                                                             len(junk)))]])
+            elif len(data):
+                del data[pos:pos + int(rng.integers(1, 40))]
+        blob = bytes(data)
+
+        ref_exc = got_exc = None
+        try:
+            rt, rf, rl = parse_fasta_bytes(blob)
+        except ValueError as e:
+            ref_exc = e
+        try:
+            nt, nf, nl = native.parse_fasta_bytes(blob)
+        except ValueError as e:
+            got_exc = e
+        assert (ref_exc is None) == (got_exc is None), \
+            f"trial {trial}: one parser rejected, the other accepted"
+        if ref_exc is not None:
+            continue
+        assert nt == rt, f"trial {trial}: titles diverge"
+        np.testing.assert_array_equal(np.asarray(nl), np.asarray(rl),
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(nf), np.asarray(rf),
+                                      err_msg=f"trial {trial}")
