@@ -42,8 +42,8 @@ from oswald_tpu.kernels import build_profile, noadj_ok, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_stream_impl,
     _search_bin_flat_impl, _search_bin_flat_batch_impl,
-    _search_bin_hostslice_impl, _split_packed, _result_stats,
-    _db_len_stats, pad_query,
+    _search_bin_stream_batch_impl, _search_bin_hostslice_impl,
+    _split_packed, _result_stats, _db_len_stats, pad_query,
 )
 from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics
@@ -596,14 +596,21 @@ class DistributedSearchEngine:
         u_rows, interpret = self.config.u_rows, self._interpret
         gb, acc, cu, na = (self.config.group_block, self._acc,
                            self.config.col_unroll, self._noadj)
-        geom = self.bin_geom[L]
+        precompute = self.mode == "precompute"
+        geom = self.bin_geom.get(L)
 
         def local_fn(q_batch, gaps, submat, data, ids, lnl_table):
-            prof_flat, tail_flat = data
-            off, C, G_loc, toff = geom
-            scores = _search_bin_flat_batch_impl(
-                q_batch, gaps, prof_flat, tail_flat, off, C, G_loc, toff,
-                u_rows, interpret, gb, acc, cu, na)
+            if precompute:
+                prof_flat, tail_flat = data
+                off, C, G_loc, toff = geom
+                scores = _search_bin_flat_batch_impl(
+                    q_batch, gaps, prof_flat, tail_flat, off, C, G_loc,
+                    toff, u_rows, interpret, gb, acc, cu, na)
+            else:
+                main, tail = data
+                scores = _search_bin_stream_batch_impl(
+                    q_batch, gaps, submat, main, u_rows, interpret, gb,
+                    acc, tail, cu, na)
             Q = q_batch.shape[0]
             flat = scores.reshape(Q, -1)
             idsf = ids.reshape(-1)
@@ -622,9 +629,11 @@ class DistributedSearchEngine:
                 [packed, _psum_moments_col(flat, idsf, lnl_table, 3)],
                 axis=-1)
 
+        data_spec = (P(AXIS), P(AXIS)) if precompute else \
+            (P(None, AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(
             local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), (P(AXIS), P(AXIS)), P(AXIS), P()),
+            in_specs=(P(), P(), P(), data_spec, P(AXIS), P()),
             out_specs=P(),
             check_vma=False))
         self._bin_fns[key] = fn
@@ -644,7 +653,7 @@ class DistributedSearchEngine:
         queries run as one shard_map program per bin (see
         SearchEngine.search_many)."""
         titles = titles or [f"query{i}" for i in range(len(queries))]
-        if not batch or len(queries) <= 1 or self.mode == "stream":
+        if not batch or len(queries) <= 1:
             return [self.search(q, t) for q, t in zip(queries, titles)]
 
         t0 = time.perf_counter()
@@ -672,7 +681,8 @@ class DistributedSearchEngine:
                 continue
             cands = []
             for L in self.db.bin_lengths:
-                data = (self.prof_flat, self.tail_flat)
+                data = (self.prof_flat, self.tail_flat) if \
+                    self.mode == "precompute" else self.seq_stacks[L]
                 cands.append(self._bin_batch_fn(L, k)(
                     qb, self.gaps, self.submat_dev, data, self.ids[L],
                     self.lnl_table))

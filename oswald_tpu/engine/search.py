@@ -297,6 +297,22 @@ def _search_bin_batch_impl(q_batch, gaps, prof_stack, u_rows, interpret,
     return scores
 
 
+def _search_bin_stream_batch_impl(q_batch, gaps, submat, seq_chunks,
+                                  u_rows, interpret, group_block=1,
+                                  acc_dtype=jnp.int32, seq_tail=None,
+                                  col_unroll=16, noadj=False):
+    """Batched `_search_bin_stream_impl`: same-padded-length queries scan
+    sequentially inside ONE compiled program (int32[Q, G, 8, 128]), so
+    stream-mode batches amortise dispatch like the precompute flat-batch
+    path does."""
+    def one(_, q_pad):
+        return None, _search_bin_stream_impl(
+            q_pad, gaps, submat, seq_chunks, u_rows, interpret,
+            group_block, acc_dtype, seq_tail, col_unroll, noadj)
+    _, scores = jax.lax.scan(one, None, q_batch)
+    return scores
+
+
 def _search_bin_hostslice_impl(q_batch, gaps, submat, seq_slice, u_rows,
                                interpret, group_block=1,
                                acc_dtype=jnp.int32, col_unroll=16,
@@ -393,6 +409,8 @@ _STATIC = ("u_rows", "interpret", "group_block", "acc_dtype", "col_unroll",
 _FLAT_STATIC = _STATIC + ("C", "G")
 _search_bin = jax.jit(_search_bin_impl, static_argnames=_STATIC)
 _search_bin_stream = jax.jit(_search_bin_stream_impl, static_argnames=_STATIC)
+_search_bin_stream_batch = jax.jit(_search_bin_stream_batch_impl,
+                                   static_argnames=_STATIC)
 # (unjitted _search_bin_batch_impl stays exported for dist's shard_map;
 # the single-chip engine batches through the flat path below)
 _search_bin_hostslice = jax.jit(_search_bin_hostslice_impl,
@@ -839,7 +857,7 @@ class SearchEngine:
         reference's analog is its per-query kernel loop inside one chunk
         round (FPGAsearch.c:204-219)."""
         titles = titles or [f"query{i}" for i in range(len(queries))]
-        if not batch or len(queries) <= 1 or self.mode == "stream":
+        if not batch or len(queries) <= 1:
             return [self.search(q, t) for q, t in zip(queries, titles)]
 
         t0 = time.perf_counter()
@@ -873,17 +891,28 @@ class SearchEngine:
             else:
                 outs = []
                 for L in self.db.bin_lengths:
-                    off, C, G, toff = self.bin_geom[L]
-                    s = _search_bin_flat_batch(
-                        qb, self.gaps, self.prof_flat,
-                        self.tail_flat if toff is not None else None,
-                        off, C=C, G=G, toff=toff,
-                        u_rows=self.config.u_rows,
-                        interpret=self._interpret,
-                        group_block=self.config.group_block,
-                        acc_dtype=self._acc,
-                        col_unroll=self.config.col_unroll,
-                        noadj=self._noadj)
+                    if self.mode == "stream":
+                        main, tail = self.seq_stacks[L]
+                        s = _search_bin_stream_batch(
+                            qb, self.gaps, self.submat_dev, main,
+                            u_rows=self.config.u_rows,
+                            interpret=self._interpret,
+                            group_block=self.config.group_block,
+                            acc_dtype=self._acc, seq_tail=tail,
+                            col_unroll=self.config.col_unroll,
+                            noadj=self._noadj)
+                    else:
+                        off, C, G, toff = self.bin_geom[L]
+                        s = _search_bin_flat_batch(
+                            qb, self.gaps, self.prof_flat,
+                            self.tail_flat if toff is not None else None,
+                            off, C=C, G=G, toff=toff,
+                            u_rows=self.config.u_rows,
+                            interpret=self._interpret,
+                            group_block=self.config.group_block,
+                            acc_dtype=self._acc,
+                            col_unroll=self.config.col_unroll,
+                            noadj=self._noadj)
                     outs.append(s.reshape(len(idxs), -1))
                 packed = jax.vmap(
                     lambda sc: _topk(sc, self.valid, self.lnl, k))(

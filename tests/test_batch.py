@@ -21,3 +21,40 @@ def test_search_many_batched_matches_sequential(rng):
         np.testing.assert_array_equal(rb.seq_ids, rs.seq_ids)
         assert rb.titles == rs.titles
     assert eng.metrics.count("search_batch") == 1
+
+
+def test_search_many_stream_mode_batched(rng):
+    """stream mode now batches too (one compiled program per (m_pad, bin)
+    with in-scan profile builds): parity with per-query + precompute."""
+    lengths = rng.integers(5, 150, size=900)
+    flat = np.concatenate([random_protein(rng, int(l)) for l in lengths])
+    db = pack_sequences(flat, lengths, [f"s{i}" for i in range(900)])
+    pre = SearchEngine(db, SearchConfig(top=6))
+    st = SearchEngine(db, SearchConfig(top=6, profile_mode="stream"))
+    queries = [random_protein(rng, int(n)) for n in (20, 40, 64, 90)]
+    want = pre.search_many(queries, batch=True)
+    got = st.search_many(queries, batch=True)
+    seq = st.search_many(queries, batch=False)
+    for rw, rg, rs in zip(want, got, seq):
+        np.testing.assert_array_equal(rg.scores, rw.scores)
+        np.testing.assert_array_equal(rg.seq_ids, rw.seq_ids)
+        np.testing.assert_array_equal(rg.scores, rs.scores)
+        np.testing.assert_allclose(rg.evalues, rw.evalues, rtol=1e-3)
+
+
+def test_dist_search_many_stream_mode_batched(rng):
+    from oswald_tpu.dist import DistributedSearchEngine, make_device_mesh
+    lengths = rng.integers(5, 120, size=700)
+    flat = np.concatenate([random_protein(rng, int(l)) for l in lengths])
+    db = pack_sequences(flat, lengths, [f"s{i}" for i in range(700)])
+    single = SearchEngine(db, SearchConfig(top=5))
+    deng = DistributedSearchEngine(
+        db, SearchConfig(top=5, profile_mode="stream"),
+        mesh=make_device_mesh(8))
+    queries = [random_protein(rng, int(n)) for n in (25, 50, 80)]
+    want = single.search_many(queries, batch=True)
+    got = deng.search_many(queries, batch=True)
+    for rw, rg in zip(want, got):
+        np.testing.assert_array_equal(rg.scores, rw.scores)
+        np.testing.assert_array_equal(rg.seq_ids, rw.seq_ids)
+        np.testing.assert_allclose(rg.evalues, rw.evalues, rtol=1e-3)
