@@ -68,3 +68,27 @@ def test_streaming_numpy_fallback_matches_native(tmp_path, rng):
         for k in ("seq", "len", "id"):
             np.testing.assert_array_equal(
                 np.asarray(db_nat.bins[L][k]), np.asarray(db_py.bins[L][k]))
+
+
+def test_streaming_invalid_input_raises_and_cleans_up(tmp_path):
+    """Non-FASTA input must raise ValueError and leave no staging temp
+    files behind (the out-of-core path spills to <out>.oswt/*.tmp)."""
+    import os
+    import pytest
+    bad = tmp_path / "junk.bin"
+    bad.write_bytes(b"\x00\x01not a fasta at all\njust bytes\n" * 100)
+    out = tmp_path / "junkdb"
+    with pytest.raises(ValueError):
+        preprocess_db_streaming(str(bad), str(out), verbose=False)
+    d = str(out) + ".oswt"
+    leftovers = [f for f in (os.listdir(d) if os.path.isdir(d) else [])
+                 if f.endswith(".tmp")]
+    assert leftovers == [], leftovers
+
+
+def test_streaming_empty_file(tmp_path):
+    empty = tmp_path / "empty.fasta"
+    empty.write_bytes(b"")
+    db = preprocess_db_streaming(str(empty), str(tmp_path / "emptydb"),
+                                 verbose=False)
+    assert db.n_seqs == 0 and db.n_residues == 0
