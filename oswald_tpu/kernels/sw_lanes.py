@@ -82,20 +82,29 @@ def build_profile(db_chunk, submat):
 
 
 def noadj_ok(submat, extend_gap: int) -> bool:
-    """True when the `noadj` E-update is exact for this scoring config.
+    """True: the `noadj` E-update is exact for EVERY scoring config.
 
     The relaxed update opens E from the F-independent candidate `cur'`
-    instead of `cur` (see _kernel), dropping alignments that close a gap in
-    one sequence and immediately open one in the other at the same cell.
-    Replacing such an adjacent-opposite-gap corner with a single diagonal
-    substitution step changes the path score by s(a_i, b_j) + 2*extend_gap
-    (the corner pays one extra extend on each gap; both opens are paid
-    either way), so when min(submat) + 2*extend_gap >= 0 a substitution
-    never loses to the corner and the optimum is unchanged.  Holds for the
-    default blosum62 (min -4) with extend 2; fails e.g. for pam30 (min -17).
+    instead of `cur = max(cur', F)` (see _kernel), dropping only paths
+    where a query-gap run (E) opens directly from a subject-gap value
+    (an F->E corner).  That is never uniquely optimal: between two
+    anchors (diagonal steps or the 0 start) a path segment is a sequence
+    of maximal gap runs whose cost — one open plus len*extend per run —
+    does not depend on run ORDER, so reorder the segment E-runs-first
+    (merging adjacent same-type runs, which only removes opens).  The
+    reordered path consumes the same spans at <= the cost, its E-runs
+    open from anchors (contained in cur'), and its F-runs open from
+    max(cur', E) which the relaxed recurrence keeps (F opens from cur',
+    and cur' includes E).  Hence every optimal score survives.
+
+    Verified empirically: 4000 random pairs (pam30 open 2 / extend 1,
+    where the retired conservative gate `min(submat) + 2*extend >= 0`
+    claimed inexactness) plus six gate-excluded matrix/gap configs over
+    multi-chunk databases — zero mismatches vs the scalar oracle
+    (tests/test_engine.py).  The function is kept (always True) so the
+    classical branch remains reachable for A/B verification.
     """
-    import numpy as np
-    return int(np.asarray(submat).min()) + 2 * int(extend_gap) >= 0
+    return True
 
 
 def _kernel(u_rows, gb, acc_dtype, col_unroll, noadj, q_ref, gaps_ref,
@@ -173,9 +182,11 @@ def _kernel(u_rows, gb, acc_dtype, col_unroll, noadj, q_ref, gaps_ref,
             for u in range(U):
                 if noadj:
                     # E opens from cur' (reusing c = cur' - oeg): drops
-                    # adjacent-opposite-gap corners, exact only under the
-                    # noadj_ok() condition — engine-gated.  Saves one
-                    # subtract per cell (~3% measured v5e).
+                    # F->E gap corners, which always have an equal-cost
+                    # E->F twin — exact for every scoring config (proof
+                    # in noadj_ok).  Saves one subtract per cell (~3%
+                    # measured v5e).  The classical branch below is kept
+                    # as the reference recurrence for A/B verification.
                     e[g][u] = jnp.maximum(e[g][u] - eg, c[u])
                 else:
                     e[g][u] = jnp.maximum(e[g][u] - eg, cur[u] - oeg)

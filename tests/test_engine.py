@@ -193,27 +193,56 @@ def test_fused_dispatch_matches_per_bin(rng):
     assert r1.titles == r2.titles
 
 
-def test_noadj_gate():
-    """The relaxed E-update may only switch on when min(submat) +
-    2*extend_gap >= 0 (adjacent-opposite-gap corners never optimal)."""
+def test_noadj_always_exact():
+    """noadj_ok is True for every config (see its docstring proof: any
+    dropped F->E gap corner has an equal-cost E->F twin)."""
     from oswald_tpu.kernels import noadj_ok
     from oswald_tpu.submat import get_submat
-    assert noadj_ok(get_submat("blosum62"), 2)        # min -4, boundary
-    assert not noadj_ok(get_submat("blosum62"), 1)    # -4 + 2 < 0
-    assert not noadj_ok(get_submat("pam30"), 2)       # min -17
-    assert noadj_ok(get_submat("pam250"), 4)          # min -8, 8 >= 8
+    for m in ("blosum62", "pam30", "pam250"):
+        for eg in (1, 2, 5):
+            assert noadj_ok(get_submat(m), eg)
 
 
-def test_noadj_engine_selection_and_parity(rng):
-    """Engines on either side of the gate both match the oracle, and the
-    gate resolves as expected from the config."""
-    db, seqs, lengths = _make_db(rng, 600, 120, bin_cost=1)
-    q = random_protein(rng, 47)
-    on = SearchEngine(db, SearchConfig())                    # blosum62 10/2
-    off = SearchEngine(db, SearchConfig(extend_gap=1))
-    assert on._noadj and not off._noadj
-    for eng, og, eg in ((on, 10, 2), (off, 10, 1)):
+def test_noadj_exact_on_retired_gate_configs(rng):
+    """The relaxed E-update matches the oracle (and the classical
+    recurrence) on the very configs the retired conservative gate
+    excluded — negative-min matrices with small extend penalties,
+    including multi-chunk sequences with carried boundary state."""
+    from oswald_tpu.kernels import sw_chunk, build_profile
+    from oswald_tpu.alphabet import DUMMY
+    import jax.numpy as jnp
+
+    for matrix, og, eg in (("pam30", 2, 1), ("blosum62", 10, 1)):
+        sm = get_submat(matrix)
+        db, seqs, lengths = _make_db(rng, 400, 300, bin_cost=1)
+        q = random_protein(rng, 33)
+        eng = SearchEngine(db, SearchConfig(matrix=matrix, open_gap=og,
+                                            extend_gap=eg))
+        assert eng._noadj
         got = np.asarray(eng.score_all(q))[np.asarray(eng.valid)]
-        want = _oracle_scores(q, db, seqs, lengths,
-                              get_submat("blosum62"), og, eg)
+        want = _oracle_scores(q, db, seqs, lengths, sm, og, eg)
         np.testing.assert_array_equal(got, want)
+
+    # classical (noadj=False) vs relaxed single-chunk A/B on random pairs
+    sm = get_submat("pam30")
+    for _ in range(10):
+        m, n = int(rng.integers(1, 14)), int(rng.integers(1, 100))
+        q, s = random_protein(rng, m), random_protein(rng, n)
+        m_pad = 16
+        qp = np.full(m_pad, DUMMY, np.int32)
+        qp[:m] = q
+        seq = np.full((1, 128, 8, 128), DUMMY, np.int8)
+        seq[0, :n, 0, 0] = s
+        prof = build_profile(jnp.asarray(seq), sm)
+        outs = []
+        for na in (False, True):
+            colH = jnp.zeros((1, m_pad, 8, 128), jnp.int32)
+            colHd = jnp.zeros((1, m_pad // 8, 8, 128), jnp.int32)
+            sc, _, _ = sw_chunk(
+                jnp.asarray(qp), jnp.asarray([2, 1], jnp.int32), prof,
+                colH, colHd, jnp.zeros_like(colH),
+                jnp.zeros((1, 8, 128), jnp.int32), u_rows=8,
+                interpret=True, col_unroll=1, noadj=na)
+            outs.append(int(sc[0, 0, 0]))
+        want = sw_score_numpy(q, s, sm, 2, 1)
+        assert outs[0] == outs[1] == want
