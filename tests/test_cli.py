@@ -147,3 +147,19 @@ def test_cli_align_output(tmp_path, fasta_db, capsys):
     assert top["alignment"]["identities"] == 30
     assert top["alignment"]["q_aln"] == top["alignment"]["s_aln"]
     assert top["alignment"]["q_start"] == 1
+
+
+def test_cli_align_distributed(tmp_path, fasta_db, capsys):
+    """--align + --devices 8: the dist engine's align post-pass works
+    through the CLI and traceback scores match the reported scores."""
+    db_fasta, seqs = fasta_db
+    qpath = tmp_path / "q.fasta"
+    with open(qpath, "w") as f:
+        f.write(">dq\n" + "".join(ALPHABET[c] for c in seqs[5][:20]) + "\n")
+    assert main(["preprocess", "-i", str(db_fasta),
+                 "-o", str(tmp_path / "db")]) == 0
+    assert main(["search", "-q", str(qpath), "-d", str(tmp_path / "db"),
+                 "-r", "2", "--align", "--devices", "8"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("Identities:") == 2
+    assert "> dbseq5" in out
