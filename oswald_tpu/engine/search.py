@@ -80,6 +80,14 @@ class SearchConfig:
     # host_stream transfer granularity: target packed-residue bytes per
     # host->device slice (rounded to whole group_block multiples per bin).
     host_stream_slice_mb: int = 256
+    # Batched searches: pack up to this many QUERY ROWS of same-padded-
+    # length queries into ONE kernel program as independent segments
+    # (kernels.sw_chunk q_segs) — each profile block is read from HBM once
+    # per program instead of once per query, which is the dominant cost
+    # for short queries.  The cap bounds the scan-state HBM (colH/colE
+    # scale with packed rows) to one 1024-row query's worth.  0 disables.
+    # Precompute mode only; applies when >= 2 queries fit.
+    batch_query_pack_rows: int = 1024
     # One jitted program per search (bins + top-k) instead of one dispatch
     # per bin.  None = auto: fused for short queries (m_pad <= 128, where
     # per-bin dispatch overhead dominates the small scans; measured v5e
@@ -105,6 +113,11 @@ class SearchConfig:
             raise ValueError(
                 f"col_unroll must be a divisor of 64, got {cu!r} (it must "
                 "divide both full 128-column and tail 64-column chunks)")
+        if not (isinstance(self.batch_query_pack_rows, int) and
+                self.batch_query_pack_rows >= 0):
+            raise ValueError(
+                f"batch_query_pack_rows must be a non-negative int, got "
+                f"{self.batch_query_pack_rows!r}")
         for field in ("query_pad_quantum", "batch_query_pad_quantum"):
             q = getattr(self, field)
             if not (isinstance(q, int) and 8 <= q <= 8192 and
@@ -297,6 +310,61 @@ def _search_bin_batch_impl(q_batch, gaps, prof_stack, u_rows, interpret,
     return scores
 
 
+def _search_bin_flat_pack_impl(q_packed, gaps, prof_flat, tail_flat, off,
+                               C, G, toff, q_segs, u_rows, interpret,
+                               group_block=1, acc_dtype=jnp.int32,
+                               col_unroll=16, noadj=False):
+    """Like `_search_bin_flat_impl` but with q_segs INDEPENDENT queries
+    packed along the row axis (kernels.sw_chunk q_segs): one kernel pass
+    per chunk scores every packed query, reading each profile block from
+    HBM once instead of once per query.  For short queries the profile
+    stream dominates the scan, so this multiplies arithmetic intensity by
+    q_segs — the fix for the short-query batch gap (qlen-64 batches
+    measured ~0.6x the qlen-512 rate with the per-query scan).
+
+    q_packed: int32[q_segs * seg_rows] (each segment DUMMY-padded).
+    Returns int32[q_segs, G, 8, 128].
+    """
+    m_tot = q_packed.shape[0]
+    A, POS = prof_flat.shape[1], prof_flat.shape[2]
+    R = m_tot // u_rows
+    bps = R // q_segs
+    colH = jnp.zeros((G, m_tot, SUBLANES, LANES), acc_dtype)
+    colE = jnp.zeros_like(colH)
+    scores = jnp.zeros((G, q_segs, SUBLANES, LANES), acc_dtype)
+
+    def one_chunk(carry, prof_c):
+        colH, colE, scores = carry
+        colHd = jnp.concatenate(
+            [jnp.zeros((G, 1, SUBLANES, LANES), acc_dtype),
+             colH[:, u_rows - 1::u_rows][:, :-1]], axis=1)
+        # segment-start row blocks take no carried diagonal from the
+        # previous row (it belongs to the previous packed query)
+        colHd = colHd.at[:, ::bps].set(0)
+        scores, colH, colE = sw_chunk(q_packed, gaps, prof_c, colH, colHd,
+                                      colE, scores, u_rows=u_rows,
+                                      group_block=group_block,
+                                      acc_dtype=acc_dtype,
+                                      interpret=interpret,
+                                      col_unroll=col_unroll, noadj=noadj,
+                                      q_segs=q_segs)
+        return (colH, colE, scores)
+
+    def body(c, carry):
+        prof_c = jax.lax.dynamic_slice(
+            prof_flat, (off + c * G, 0, 0, 0), (G, A, POS, LANES))
+        return one_chunk(carry, prof_c)
+
+    carry = (colH, colE, scores)
+    if C:
+        carry = jax.lax.fori_loop(0, C, body, carry)
+    if toff is not None:
+        tail_c = jax.lax.dynamic_slice(
+            tail_flat, (toff, 0, 0, 0), (G,) + tuple(tail_flat.shape[1:]))
+        carry = one_chunk(carry, tail_c)
+    return carry[2].astype(jnp.int32).transpose(1, 0, 2, 3)
+
+
 def _search_bin_stream_batch_impl(q_batch, gaps, submat, seq_chunks,
                                   u_rows, interpret, group_block=1,
                                   acc_dtype=jnp.int32, seq_tail=None,
@@ -419,6 +487,8 @@ _search_bin_flat = jax.jit(_search_bin_flat_impl,
                            static_argnames=_FLAT_STATIC)
 _search_bin_flat_batch = jax.jit(_search_bin_flat_batch_impl,
                                  static_argnames=_FLAT_STATIC)
+_search_bin_flat_pack = jax.jit(_search_bin_flat_pack_impl,
+                                static_argnames=_FLAT_STATIC + ("q_segs",))
 
 
 _build_profile_jit = jax.jit(build_profile)
@@ -875,6 +945,41 @@ class SearchEngine:
         # mixed-length analog of the per-bin async dispatch in search()
         pending = []
         for m_pad, idxs in by_len.items():
+            # packed segments: several short queries per kernel program
+            # (see SearchConfig.batch_query_pack_rows / sw_chunk q_segs)
+            S = 0
+            if self.mode == "precompute" and \
+                    self.config.batch_query_pack_rows:
+                cap = self.config.batch_query_pack_rows // m_pad
+                if cap >= 2:
+                    S = min(cap, 1 << (len(idxs) - 1).bit_length())
+            if S >= 2:
+                for c0 in range(0, len(idxs), S):
+                    sub = idxs[c0:c0 + S]
+                    qm = np.full((S, m_pad), DUMMY, np.int32)
+                    for row, i in enumerate(sub):
+                        qm[row] = padded[i]
+                    q_packed = jnp.asarray(qm.reshape(-1))
+                    outs = []
+                    for L in self.db.bin_lengths:
+                        off, C, G, toff = self.bin_geom[L]
+                        s = _search_bin_flat_pack(
+                            q_packed, self.gaps, self.prof_flat,
+                            self.tail_flat if toff is not None else None,
+                            off, C=C, G=G, toff=toff, q_segs=S,
+                            u_rows=self.config.u_rows,
+                            interpret=self._interpret,
+                            group_block=self.config.group_block,
+                            acc_dtype=self._acc,
+                            col_unroll=self.config.col_unroll,
+                            noadj=self._noadj)
+                        outs.append(s.reshape(S, -1))
+                    packed = jax.vmap(
+                        lambda sc: _topk(sc, self.valid, self.lnl, k))(
+                            jnp.concatenate(outs, axis=1))[:len(sub)]
+                    pending.append((sub, packed, None, None,
+                                    None, None, None))
+                continue
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
             if self.mode == "host_stream":
                 # one streaming sweep of the database scores the whole

@@ -107,7 +107,7 @@ def noadj_ok(submat, extend_gap: int) -> bool:
     return True
 
 
-def _kernel(u_rows, gb, acc_dtype, col_unroll, noadj, q_ref, gaps_ref,
+def _kernel(u_rows, gb, acc_dtype, col_unroll, noadj, bps, q_ref, gaps_ref,
             prof_ref, colh_ref, colhd_ref, cole_ref, sin_ref, scores_ref,
             colho_ref, coleo_ref, hrow_ref, fcol_ref):
     r = pl.program_id(1)
@@ -116,11 +116,15 @@ def _kernel(u_rows, gb, acc_dtype, col_unroll, noadj, q_ref, gaps_ref,
     eg = gaps_ref[1].astype(acc_dtype)
     oeg = (gaps_ref[0] + gaps_ref[1]).astype(acc_dtype)
 
-    @pl.when(r == 0)
+    @pl.when(r % bps == 0)
     def _init():
-        # first row block of a group: H[-1, :] = 0, F "candidates" = 0
-        # (0 is equivalent to -inf here because H = max(0, ...) >= 0 and
-        # gap candidates only decay; same initialisation as sw.cl:39)
+        # first row block of a group OR of a packed-query segment (bps =
+        # row blocks per segment; see sw_chunk's q_segs): H[-1, :] = 0,
+        # F "candidates" = 0 (0 is equivalent to -inf here because
+        # H = max(0, ...) >= 0 and gap candidates only decay; same
+        # initialisation as sw.cl:39).  Zeroing at every segment start is
+        # exactly what makes packed segments independent queries — no DP
+        # state crosses the boundary.
         hrow_ref[...] = jnp.zeros_like(hrow_ref)
         fcol_ref[...] = jnp.zeros_like(fcol_ref)
         scores_ref[...] = sin_ref[...]
@@ -217,7 +221,7 @@ def _kernel(u_rows, gb, acc_dtype, col_unroll, noadj, q_ref, gaps_ref,
 
     _, smax, e, hl = jax.lax.fori_loop(0, W // col_unroll, body, carry0)
     for g in range(gb):
-        scores_ref[g] = jnp.maximum(scores_ref[g], smax[g])
+        scores_ref[g, 0] = jnp.maximum(scores_ref[g, 0], smax[g])
         for u in range(U):
             colho_ref[g, u] = hl[g][u]
             coleo_ref[g, u] = e[g][u]
@@ -225,11 +229,13 @@ def _kernel(u_rows, gb, acc_dtype, col_unroll, noadj, q_ref, gaps_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("u_rows", "group_block", "acc_dtype",
-                                    "interpret", "col_unroll", "noadj"))
+                                    "interpret", "col_unroll", "noadj",
+                                    "q_segs"))
 def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
              u_rows: int = DEFAULT_U_ROWS, group_block: int = 1,
              acc_dtype=jnp.int32, interpret: bool = False,
-             col_unroll: int = DEFAULT_COL_UNROLL, noadj: bool = False):
+             col_unroll: int = DEFAULT_COL_UNROLL, noadj: bool = False,
+             q_segs: int = 1):
     """Score one column chunk of the DP matrix for all groups.
 
     q:          int32[m_pad]               encoded query (scalar-prefetched)
@@ -238,17 +244,26 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
     colH:       acc[G, m_pad, 8, 128]       H at previous chunk's last column
     colHd:      acc[G, R, 8, 128]           per row block r, H[r*U - 1] of
                                             the previous chunk's last column
-                                            (zeros for r = 0)
+                                            (zeros for segment-start blocks)
     colE:       acc[G, m_pad, 8, 128]       E candidates at this chunk's col 0
-    scores_in:  acc[G, 8, 128]              running per-lane max
+    scores_in:  acc[G, 8, 128] (q_segs=1)   running per-lane max, or
+                acc[G, q_segs, 8, 128]      one slab per packed segment
+
+    q_segs: number of INDEPENDENT queries packed along the row axis (each
+    an equal m_pad/q_segs-row segment).  The kernel re-initialises its
+    H-row/F scratch and score slab at every segment start, so the one
+    pallas_call scores q_segs queries while reading each profile block
+    from HBM ONCE — for short queries the profile stream dominates, so
+    packing multiplies arithmetic intensity by q_segs (the batched analog
+    of the reference's per-query kernel loop inside one chunk round,
+    FPGAsearch.c:204-219, which likewise reuses the uploaded chunk).
 
     group_block: independent groups interleaved per kernel step (latency
     hiding); must divide G.  col_unroll: columns advanced per fori-loop
     iteration; must divide the chunk's column count (64 or 128, so any
     power of two <= 64 is always valid).  noadj: relaxed E-update that
-    saves one op/cell — ONLY exact when noadj_ok(submat, extend_gap); the
-    engine gates it per scoring config.  Returns (scores, colH_out,
-    colE_out).
+    saves one op/cell — exact for every scoring config (see noadj_ok).
+    Returns (scores, colH_out, colE_out); scores match scores_in's shape.
     """
     G = prof_chunk.shape[0]
     POS = prof_chunk.shape[2]
@@ -266,6 +281,15 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
     R = m_pad // u_rows
     U = u_rows
     GB = group_block
+    squeeze = scores_in.ndim == 3
+    if squeeze:
+        scores_in = scores_in[:, None]
+    assert scores_in.shape[1] == q_segs, (scores_in.shape, q_segs)
+    if R % q_segs:
+        raise ValueError(
+            f"q_segs={q_segs} must divide the {R} row blocks (m_pad "
+            f"{m_pad}, u_rows {u_rows})")
+    bps = R // q_segs                     # row blocks per segment
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -283,13 +307,13 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
             pl.BlockSpec((GB, U, SUBLANES, LANES),
                          lambda g, r, *_: (g, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, SUBLANES, LANES),
-                         lambda g, r, *_: (g, 0, 0),
+            pl.BlockSpec((GB, 1, SUBLANES, LANES),
+                         lambda g, r, *_: (g, r // bps, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((GB, SUBLANES, LANES),
-                         lambda g, r, *_: (g, 0, 0),
+            pl.BlockSpec((GB, 1, SUBLANES, LANES),
+                         lambda g, r, *_: (g, r // bps, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GB, U, SUBLANES, LANES),
                          lambda g, r, *_: (g, r, 0, 0),
@@ -307,13 +331,13 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
     # interpret mode executes the traced body op by op, so unrolling only
     # slows it down; compiled mode gets the measured +15%
     cu = 1 if interpret else col_unroll
-    kernel = functools.partial(_kernel, U, GB, acc_dtype, cu, noadj)
+    kernel = functools.partial(_kernel, U, GB, acc_dtype, cu, noadj, bps)
     cells = G * m_pad * (POS // SUBLANES) * SUBLANES * LANES
-    return pl.pallas_call(
+    scores, colH_out, colE_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((G, SUBLANES, LANES), acc_dtype),
+            jax.ShapeDtypeStruct((G, q_segs, SUBLANES, LANES), acc_dtype),
             jax.ShapeDtypeStruct((G, m_pad, SUBLANES, LANES), acc_dtype),
             jax.ShapeDtypeStruct((G, m_pad, SUBLANES, LANES), acc_dtype),
         ],
@@ -325,3 +349,4 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
         interpret=interpret,
     )(jnp.asarray(q, jnp.int32), jnp.asarray(gaps, jnp.int32),
       prof_chunk, colH, colHd, colE, scores_in)
+    return (scores[:, 0] if squeeze else scores), colH_out, colE_out

@@ -58,3 +58,35 @@ def test_dist_search_many_stream_mode_batched(rng):
         np.testing.assert_array_equal(rg.scores, rw.scores)
         np.testing.assert_array_equal(rg.seq_ids, rw.seq_ids)
         np.testing.assert_allclose(rg.evalues, rw.evalues, rtol=1e-3)
+
+
+def test_query_packing_parity_and_chunking(rng):
+    """Packed-segment batching (batch_query_pack_rows): many short queries
+    of one padded length, more than one pack chunk, exact parity with the
+    unpacked path and with per-query search; stats agree too."""
+    lengths = rng.integers(5, 150, size=800)
+    flat = np.concatenate([random_protein(rng, int(l)) for l in lengths])
+    db = pack_sequences(flat, lengths, [f"s{i}" for i in range(800)])
+    packed_eng = SearchEngine(db, SearchConfig(
+        top=6, batch_query_pack_rows=256))       # m_pad 64 -> S=4
+    plain_eng = SearchEngine(db, SearchConfig(
+        top=6, batch_query_pack_rows=0))
+    # 10 queries all padding to 64 -> chunks of 4+4+2 packed segments
+    queries = [random_protein(rng, int(n))
+               for n in rng.integers(10, 64, size=10)]
+    got = packed_eng.search_many(queries, batch=True)
+    want = plain_eng.search_many(queries, batch=True)
+    seq = [packed_eng.search(q) for q in queries]
+    for rg, rw, rs in zip(got, want, seq):
+        np.testing.assert_array_equal(rg.scores, rw.scores)
+        np.testing.assert_array_equal(rg.seq_ids, rw.seq_ids)
+        np.testing.assert_array_equal(rg.scores, rs.scores)
+        np.testing.assert_allclose(rg.evalues, rw.evalues, rtol=1e-4)
+    # mixed lengths: long queries bypass packing, short ones pack
+    mixed = [random_protein(rng, 30), random_protein(rng, 40),
+             random_protein(rng, 300)]
+    gm = packed_eng.search_many(mixed, batch=True)
+    wm = plain_eng.search_many(mixed, batch=True)
+    for rg, rw in zip(gm, wm):
+        np.testing.assert_array_equal(rg.scores, rw.scores)
+        np.testing.assert_array_equal(rg.seq_ids, rw.seq_ids)
