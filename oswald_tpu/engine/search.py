@@ -365,6 +365,43 @@ def _search_bin_flat_pack_impl(q_packed, gaps, prof_flat, tail_flat, off,
     return carry[2].astype(jnp.int32).transpose(1, 0, 2, 3)
 
 
+def _search_bin_stream_pack_impl(q_packed, gaps, submat, seq_chunks,
+                                 q_segs, u_rows, interpret, group_block=1,
+                                 acc_dtype=jnp.int32, seq_tail=None,
+                                 col_unroll=16, noadj=False):
+    """Packed-segment variant of `_search_bin_stream_impl` (see
+    `_search_bin_flat_pack_impl`): q_segs independent queries per kernel
+    pass, so the per-chunk profile gather AND its HBM read are paid once
+    per chunk for the whole pack.  Returns int32[q_segs, G, 8, 128]."""
+    C, G = seq_chunks.shape[0], seq_chunks.shape[1]
+    m_tot = q_packed.shape[0]
+    bps = (m_tot // u_rows) // q_segs
+    colH = jnp.zeros((G, m_tot, SUBLANES, LANES), acc_dtype)
+    colE = jnp.zeros_like(colH)
+    scores = jnp.zeros((G, q_segs, SUBLANES, LANES), acc_dtype)
+
+    def one_chunk(carry, seq_c):
+        colH, colE, scores = carry
+        prof_c = build_profile(seq_c, submat)
+        colHd = jnp.concatenate(
+            [jnp.zeros((G, 1, SUBLANES, LANES), acc_dtype),
+             colH[:, u_rows - 1::u_rows][:, :-1]], axis=1)
+        colHd = colHd.at[:, ::bps].set(0)
+        scores, colH, colE = sw_chunk(q_packed, gaps, prof_c, colH, colHd,
+                                      colE, scores, u_rows=u_rows,
+                                      group_block=group_block,
+                                      acc_dtype=acc_dtype,
+                                      interpret=interpret,
+                                      col_unroll=col_unroll, noadj=noadj,
+                                      q_segs=q_segs)
+        return (colH, colE, scores), None
+
+    carry, _ = jax.lax.scan(one_chunk, (colH, colE, scores), seq_chunks)
+    if seq_tail is not None:
+        carry, _ = one_chunk(carry, seq_tail)
+    return carry[2].astype(jnp.int32).transpose(1, 0, 2, 3)
+
+
 def _search_bin_stream_batch_impl(q_batch, gaps, submat, seq_chunks,
                                   u_rows, interpret, group_block=1,
                                   acc_dtype=jnp.int32, seq_tail=None,
@@ -479,6 +516,8 @@ _search_bin = jax.jit(_search_bin_impl, static_argnames=_STATIC)
 _search_bin_stream = jax.jit(_search_bin_stream_impl, static_argnames=_STATIC)
 _search_bin_stream_batch = jax.jit(_search_bin_stream_batch_impl,
                                    static_argnames=_STATIC)
+_search_bin_stream_pack = jax.jit(_search_bin_stream_pack_impl,
+                                  static_argnames=_STATIC + ("q_segs",))
 # (unjitted _search_bin_batch_impl stays exported for dist's shard_map;
 # the single-chip engine batches through the flat path below)
 _search_bin_hostslice = jax.jit(_search_bin_hostslice_impl,
@@ -948,7 +987,7 @@ class SearchEngine:
             # packed segments: several short queries per kernel program
             # (see SearchConfig.batch_query_pack_rows / sw_chunk q_segs)
             S = 0
-            if self.mode == "precompute" and \
+            if self.mode in ("precompute", "stream") and \
                     self.config.batch_query_pack_rows:
                 cap = self.config.batch_query_pack_rows // m_pad
                 if cap >= 2:
@@ -962,17 +1001,30 @@ class SearchEngine:
                     q_packed = jnp.asarray(qm.reshape(-1))
                     outs = []
                     for L in self.db.bin_lengths:
-                        off, C, G, toff = self.bin_geom[L]
-                        s = _search_bin_flat_pack(
-                            q_packed, self.gaps, self.prof_flat,
-                            self.tail_flat if toff is not None else None,
-                            off, C=C, G=G, toff=toff, q_segs=S,
-                            u_rows=self.config.u_rows,
-                            interpret=self._interpret,
-                            group_block=self.config.group_block,
-                            acc_dtype=self._acc,
-                            col_unroll=self.config.col_unroll,
-                            noadj=self._noadj)
+                        if self.mode == "stream":
+                            main, tail = self.seq_stacks[L]
+                            s = _search_bin_stream_pack(
+                                q_packed, self.gaps, self.submat_dev,
+                                main, q_segs=S,
+                                u_rows=self.config.u_rows,
+                                interpret=self._interpret,
+                                group_block=self.config.group_block,
+                                acc_dtype=self._acc, seq_tail=tail,
+                                col_unroll=self.config.col_unroll,
+                                noadj=self._noadj)
+                        else:
+                            off, C, G, toff = self.bin_geom[L]
+                            s = _search_bin_flat_pack(
+                                q_packed, self.gaps, self.prof_flat,
+                                self.tail_flat if toff is not None
+                                else None,
+                                off, C=C, G=G, toff=toff, q_segs=S,
+                                u_rows=self.config.u_rows,
+                                interpret=self._interpret,
+                                group_block=self.config.group_block,
+                                acc_dtype=self._acc,
+                                col_unroll=self.config.col_unroll,
+                                noadj=self._noadj)
                         outs.append(s.reshape(S, -1))
                     packed = jax.vmap(
                         lambda sc: _topk(sc, self.valid, self.lnl, k))(
