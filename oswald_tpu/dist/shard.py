@@ -42,7 +42,8 @@ from oswald_tpu.kernels import build_profile, noadj_ok, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_stream_impl,
     _search_bin_flat_impl, _search_bin_flat_batch_impl,
-    _search_bin_stream_batch_impl, _search_bin_hostslice_impl,
+    _search_bin_stream_batch_impl, _search_bin_flat_pack_impl,
+    _search_bin_stream_pack_impl, _search_bin_hostslice_impl,
     _split_packed, _result_stats, _db_len_stats, pad_query,
 )
 from oswald_tpu.engine.planner import plan_profile_mode
@@ -648,6 +649,56 @@ class DistributedSearchEngine:
         return align_hits(self.db, query, result, self.submat,
                           self.config.open_gap, self.config.extend_gap)
 
+    def _bin_pack_fn(self, L: int, k: int, q_segs: int):
+        """Compiled per-bin shard_map for a PACKED query batch: q_segs
+        independent queries as row segments of one kernel pass per shard
+        (see engine.search._search_bin_flat_pack_impl)."""
+        key = ("pack", L, k, q_segs)
+        if key in self._bin_fns:
+            return self._bin_fns[key]
+        u_rows, interpret = self.config.u_rows, self._interpret
+        gb, acc, cu, na = (self.config.group_block, self._acc,
+                           self.config.col_unroll, self._noadj)
+        precompute = self.mode == "precompute"
+        geom = self.bin_geom.get(L)
+
+        def local_fn(q_packed, gaps, submat, data, ids, lnl_table):
+            if precompute:
+                prof_flat, tail_flat = data
+                off, C, G_loc, toff = geom
+                scores = _search_bin_flat_pack_impl(
+                    q_packed, gaps, prof_flat, tail_flat, off, C, G_loc,
+                    toff, q_segs, u_rows, interpret, gb, acc, cu, na)
+            else:
+                main, tail = data
+                scores = _search_bin_stream_pack_impl(
+                    q_packed, gaps, submat, main, q_segs, u_rows,
+                    interpret, gb, acc, tail, cu, na)
+            flat = scores.reshape(q_segs, -1)
+            idsf = ids.reshape(-1)
+            masked = jnp.where(idsf[None] >= 0, flat, -1)
+            kk = min(k, flat.shape[1])
+            loc_s, loc_i = jax.lax.top_k(masked, kk)
+            loc_ids = jnp.take(idsf, loc_i)
+            all_s = jax.lax.all_gather(loc_s, AXIS, axis=1, tiled=True)
+            all_ids = jax.lax.all_gather(loc_ids, AXIS, axis=1, tiled=True)
+            top_s, top_i = jax.lax.top_k(all_s, min(k, all_s.shape[1]))
+            packed = jnp.stack(
+                [top_s, jnp.take_along_axis(all_ids, top_i, axis=1)])
+            return jnp.concatenate(
+                [packed, _psum_moments_col(flat, idsf, lnl_table, 3)],
+                axis=-1)
+
+        data_spec = (P(AXIS), P(AXIS)) if precompute else \
+            (P(None, AXIS), P(AXIS))
+        fn = jax.jit(jax.shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(), data_spec, P(AXIS), P()),
+            out_specs=P(),
+            check_vma=False))
+        self._bin_fns[key] = fn
+        return fn
+
     def search_many(self, queries, titles=None, batch: bool = True):
         """Search a list of queries; with batch=True same-padded-length
         queries run as one shard_map program per bin (see
@@ -669,6 +720,32 @@ class DistributedSearchEngine:
         # (overlaps dispatch/compile of group j+1 with group j's compute)
         pending = []
         for m_pad, idxs in by_len.items():
+            # packed segments for short queries (see SearchEngine's
+            # search_many / SearchConfig.batch_query_pack_rows)
+            S = 0
+            if self.mode in ("precompute", "stream") and \
+                    self.config.batch_query_pack_rows:
+                cap = self.config.batch_query_pack_rows // m_pad
+                if cap >= 2:
+                    S = min(cap, 1 << (len(idxs) - 1).bit_length())
+            if S >= 2:
+                for c0 in range(0, len(idxs), S):
+                    sub = idxs[c0:c0 + S]
+                    qm = np.full((S, m_pad), DUMMY, np.int32)
+                    for row, i in enumerate(sub):
+                        qm[row] = padded[i]
+                    q_packed = jnp.asarray(qm.reshape(-1))
+                    cands = []
+                    for L in self.db.bin_lengths:
+                        data = (self.prof_flat, self.tail_flat) if \
+                            self.mode == "precompute" else \
+                            self.seq_stacks[L]
+                        cands.append(self._bin_pack_fn(L, k, S)(
+                            q_packed, self.gaps, self.submat_dev, data,
+                            self.ids[L], self.lnl_table))
+                    pending.append((sub, cands, None, None, None, None,
+                                    None))
+                continue
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
             if self.mode == "host_stream":
                 # one streaming sweep of the database scores the whole
