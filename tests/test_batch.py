@@ -90,3 +90,31 @@ def test_query_packing_parity_and_chunking(rng):
     for rg, rw in zip(gm, wm):
         np.testing.assert_array_equal(rg.scores, rw.scores)
         np.testing.assert_array_equal(rg.seq_ids, rw.seq_ids)
+
+
+def test_query_packing_multichunk_subjects(rng):
+    """Packing across column-chunk boundaries: subjects long enough for
+    C >= 2 chunks (plus a 64-tail) exercise the segment-zeroed carried
+    diagonal (colHd) between chunks."""
+    lengths = rng.integers(200, 600, size=300)     # bins 256..640, C>=2
+    flat = np.concatenate([random_protein(rng, int(l)) for l in lengths])
+    db = pack_sequences(flat, lengths, [f"s{i}" for i in range(300)])
+    assert any(L >= 256 for L in db.bin_lengths)
+    packed_eng = SearchEngine(db, SearchConfig(
+        top=5, batch_query_pack_rows=512))
+    plain_eng = SearchEngine(db, SearchConfig(
+        top=5, batch_query_pack_rows=0))
+    queries = [random_protein(rng, int(n))
+               for n in rng.integers(20, 120, size=6)]
+    got = packed_eng.search_many(queries, batch=True)
+    want = plain_eng.search_many(queries, batch=True)
+    for rg, rw in zip(got, want):
+        np.testing.assert_array_equal(rg.scores, rw.scores)
+        np.testing.assert_array_equal(rg.seq_ids, rw.seq_ids)
+
+    # stream-mode packing over the same multi-chunk db
+    st = SearchEngine(db, SearchConfig(
+        top=5, profile_mode="stream", batch_query_pack_rows=512))
+    gs = st.search_many(queries, batch=True)
+    for rg, rw in zip(gs, want):
+        np.testing.assert_array_equal(rg.scores, rw.scores)
