@@ -45,6 +45,7 @@ from oswald_tpu.engine.search import (
     _search_bin_stream_batch_impl, _search_bin_flat_pack_impl,
     _search_bin_stream_pack_impl, _search_bin_hostslice_impl,
     _split_packed, _result_stats, _db_len_stats, pad_query,
+    pack_plan, pack_chunk,
 )
 from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics
@@ -721,20 +722,16 @@ class DistributedSearchEngine:
         pending = []
         for m_pad, idxs in by_len.items():
             # packed segments for short queries (see SearchEngine's
-            # search_many / SearchConfig.batch_query_pack_rows)
-            S = 0
-            if self.mode in ("precompute", "stream") and \
-                    self.config.batch_query_pack_rows:
-                cap = self.config.batch_query_pack_rows // m_pad
-                if cap >= 2:
-                    S = min(cap, 1 << (len(idxs) - 1).bit_length())
-            if S >= 2:
+            # search_many / SearchConfig.batch_query_pack_rows; pack_plan
+            # is shared so both engines chunk identically)
+            S = pack_plan(self.config.batch_query_pack_rows, m_pad,
+                          len(idxs)) if self.mode in ("precompute",
+                                                      "stream") else 0
+            if S:
                 for c0 in range(0, len(idxs), S):
                     sub = idxs[c0:c0 + S]
-                    qm = np.full((S, m_pad), DUMMY, np.int32)
-                    for row, i in enumerate(sub):
-                        qm[row] = padded[i]
-                    q_packed = jnp.asarray(qm.reshape(-1))
+                    q_packed = jnp.asarray(
+                        pack_chunk(padded, sub, S, m_pad))
                     cands = []
                     for L in self.db.bin_lengths:
                         data = (self.prof_flat, self.tail_flat) if \

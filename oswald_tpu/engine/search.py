@@ -86,7 +86,8 @@ class SearchConfig:
     # per program instead of once per query, which is the dominant cost
     # for short queries.  The cap bounds the scan-state HBM (colH/colE
     # scale with packed rows) to one 1024-row query's worth.  0 disables.
-    # Precompute mode only; applies when >= 2 queries fit.
+    # Precompute and stream modes (both engines); applies when >= 2
+    # queries fit.
     batch_query_pack_rows: int = 1024
     # One jitted program per search (bins + top-k) instead of one dispatch
     # per bin.  None = auto: fused for short queries (m_pad <= 128, where
@@ -291,25 +292,6 @@ def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
     return carry[2].astype(jnp.int32)
 
 
-def _search_bin_batch_impl(q_batch, gaps, prof_stack, u_rows, interpret,
-                           group_block=1, acc_dtype=jnp.int32,
-                           prof_tail=None, col_unroll=16, noadj=False):
-    """Scores for a batch of same-padded-length queries against one bin.
-
-    q_batch: int32[Q, m_pad].  Returns int32[Q, G, 8, 128].  Queries run
-    sequentially inside one compiled program (a scan), so the per-dispatch
-    overhead and the profile residency are amortised over the whole batch —
-    the reference amortises the same way by looping queries inside one
-    chunk's device round (FPGAsearch.c:204-219).
-    """
-    def one(_, q_pad):
-        return None, _search_bin_impl(q_pad, gaps, prof_stack, u_rows,
-                                      interpret, group_block, acc_dtype,
-                                      prof_tail, col_unroll, noadj)
-    _, scores = jax.lax.scan(one, None, q_batch)
-    return scores
-
-
 def _search_bin_flat_pack_impl(q_packed, gaps, prof_flat, tail_flat, off,
                                C, G, toff, q_segs, u_rows, interpret,
                                group_block=1, acc_dtype=jnp.int32,
@@ -497,8 +479,11 @@ def _search_bin_flat_batch_impl(q_batch, gaps, prof_flat, tail_flat, off,
                                 C, G, toff, u_rows, interpret,
                                 group_block=1, acc_dtype=jnp.int32,
                                 col_unroll=16, noadj=False):
-    """Query-batch scan over `_search_bin_flat_impl` (see
-    `_search_bin_batch_impl` for the amortisation rationale)."""
+    """Query-batch scan over `_search_bin_flat_impl`: queries run
+    sequentially inside one compiled program, amortising dispatch (the
+    reference loops queries inside one chunk's device round the same way,
+    FPGAsearch.c:204-219); _search_bin_flat_pack_impl goes further for
+    short queries by also sharing the profile reads."""
     def one(_, q_pad):
         return None, _search_bin_flat_impl(
             q_pad, gaps, prof_flat, tail_flat, off, C, G, toff, u_rows,
@@ -518,8 +503,6 @@ _search_bin_stream_batch = jax.jit(_search_bin_stream_batch_impl,
                                    static_argnames=_STATIC)
 _search_bin_stream_pack = jax.jit(_search_bin_stream_pack_impl,
                                   static_argnames=_STATIC + ("q_segs",))
-# (unjitted _search_bin_batch_impl stays exported for dist's shard_map;
-# the single-chip engine batches through the flat path below)
 _search_bin_hostslice = jax.jit(_search_bin_hostslice_impl,
                                 static_argnames=_STATIC)
 _search_bin_flat = jax.jit(_search_bin_flat_impl,
@@ -603,6 +586,30 @@ def _host_topk(scores_flat, ids_flat, k):
     masked = np.where(ids_flat >= 0, scores_flat, -1)
     order = np.lexsort((np.arange(masked.size), -masked))[:k]
     return masked[order].astype(np.int32), order
+
+
+def pack_plan(pack_rows: int, m_pad: int, n_queries: int) -> int:
+    """Packed-segment count S for a same-padded-length query group, or 0
+    when packing doesn't apply.  SHARED by the single-chip and distributed
+    engines — their results are parity-tested against each other, and the
+    chunking policy (pow2-rounded segment count capped by the row budget)
+    must stay identical for that to hold."""
+    if not pack_rows:
+        return 0
+    cap = pack_rows // m_pad
+    if cap < 2:
+        return 0
+    S = min(cap, 1 << (n_queries - 1).bit_length())
+    return S if S >= 2 else 0
+
+
+def pack_chunk(padded, sub, S: int, m_pad: int) -> np.ndarray:
+    """One DUMMY-padded int32[S * m_pad] packed query vector (segments
+    beyond len(sub) stay all-DUMMY; their outputs are sliced away)."""
+    qm = np.full((S, m_pad), DUMMY, np.int32)
+    for row, i in enumerate(sub):
+        qm[row] = padded[i]
+    return qm.reshape(-1)
 
 
 def pad_query(query, config: "SearchConfig", for_batch: bool = False):
@@ -986,19 +993,14 @@ class SearchEngine:
         for m_pad, idxs in by_len.items():
             # packed segments: several short queries per kernel program
             # (see SearchConfig.batch_query_pack_rows / sw_chunk q_segs)
-            S = 0
-            if self.mode in ("precompute", "stream") and \
-                    self.config.batch_query_pack_rows:
-                cap = self.config.batch_query_pack_rows // m_pad
-                if cap >= 2:
-                    S = min(cap, 1 << (len(idxs) - 1).bit_length())
-            if S >= 2:
+            S = pack_plan(self.config.batch_query_pack_rows, m_pad,
+                          len(idxs)) if self.mode in ("precompute",
+                                                      "stream") else 0
+            if S:
                 for c0 in range(0, len(idxs), S):
                     sub = idxs[c0:c0 + S]
-                    qm = np.full((S, m_pad), DUMMY, np.int32)
-                    for row, i in enumerate(sub):
-                        qm[row] = padded[i]
-                    q_packed = jnp.asarray(qm.reshape(-1))
+                    q_packed = jnp.asarray(
+                        pack_chunk(padded, sub, S, m_pad))
                     outs = []
                     for L in self.db.bin_lengths:
                         if self.mode == "stream":
