@@ -80,6 +80,11 @@ def _add_search_args(sp):
                     help="print a gapped alignment (traceback) for every "
                          "reported hit — a host-side post-pass over the "
                          "top-k only (the reference is score-only)")
+    sp.add_argument("--tab", action="store_true",
+                    help="BLAST outfmt-6 tabular output (qseqid sseqid "
+                         "pident length mismatch gapopen qstart qend "
+                         "sstart send evalue bitscore), one line per hit "
+                         "— computes alignments, replaces the text report")
     sp.add_argument("-H", "--histogram", action="store_true",
                     help="print the observed score histogram per query "
                          "with the expected chance counts under the "
@@ -184,11 +189,23 @@ def cmd_search(args):
         return 0
 
     alignments = None
-    if args.align:
+    if args.align or args.tab:
         # engine.align guarantees the traceback scores with the engine's
         # own matrix/gap config (identical to the search's)
         alignments = [engine.align(q, res)
                       for q, res in zip(queries, results)]
+
+    if args.tab:
+        from oswald_tpu.engine.align import format_tabular
+        for qi, res in enumerate(results):
+            for hi, (title, aln) in enumerate(zip(res.titles,
+                                                  alignments[qi])):
+                ev = float(res.evalues[hi]) if res.evalues is not None \
+                    else None
+                bs = float(res.bit_scores[hi]) if res.bit_scores is not \
+                    None else None
+                print(format_tabular(res.query_title, title, aln, ev, bs))
+        return 0
 
     if args.json:
         import json as _json

@@ -187,6 +187,36 @@ def align_hits(db, query, result, submat, open_gap: int, extend_gap: int):
     return out
 
 
+def gap_opens(aln: Alignment) -> int:
+    """Number of gap RUNS in the alignment (BLAST outfmt-6 'gapopen')."""
+    runs = 0
+    prev = False
+    for qc, sc in zip(aln.q_aln, aln.s_aln):
+        g = qc == "-" or sc == "-"
+        if g and not prev:
+            runs += 1
+        prev = g
+    return runs
+
+
+def format_tabular(query_title: str, subject_title: str, aln: Alignment,
+                   evalue: float | None, bits: float | None) -> str:
+    """One BLAST outfmt-6 line: qseqid sseqid pident length mismatch
+    gapopen qstart qend sstart send evalue bitscore (tab-separated;
+    subject id = first whitespace token of the title, like BLAST)."""
+    L = max(aln.length, 1)
+    mism = L - aln.identities - aln.gaps if aln.length else 0
+    pid = 100.0 * aln.identities / L
+    ev = f"{evalue:.2g}" if evalue is not None else "n/a"
+    bs = f"{bits:.1f}" if bits is not None else "n/a"
+    return "\t".join([
+        query_title.split()[0] if query_title else "query",
+        subject_title.split()[0] if subject_title else "subject",
+        f"{pid:.3f}", str(aln.length), str(mism), str(gap_opens(aln)),
+        str(aln.q_start), str(aln.q_end), str(aln.s_start),
+        str(aln.s_end), ev, bs])
+
+
 def format_alignment(aln: Alignment, width: int = 60) -> str:
     """BLAST-style block rendering of one alignment."""
     if aln.length == 0:

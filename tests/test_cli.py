@@ -163,3 +163,36 @@ def test_cli_align_distributed(tmp_path, fasta_db, capsys):
     out = capsys.readouterr().out
     assert out.count("Identities:") == 2
     assert "> dbseq5" in out
+
+
+def test_cli_tabular_output(tmp_path, rng, capsys):
+    """--tab prints BLAST outfmt-6 lines whose fields are self-consistent
+    with the alignment and the search scores."""
+    seqs = [random_protein(rng, int(l))
+            for l in rng.integers(30, 150, size=120)]
+    with open(tmp_path / "db.fasta", "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">tseq{i} desc\n" + "".join(ALPHABET[c] for c in s)
+                    + "\n")
+    qseq = seqs[9][:50]
+    with open(tmp_path / "q.fasta", "w") as f:
+        f.write(">tq some query\n" + "".join(ALPHABET[c] for c in qseq)
+                + "\n")
+    assert main(["preprocess", "-i", str(tmp_path / "db.fasta"),
+                 "-o", str(tmp_path / "db")]) == 0
+    assert main(["search", "-q", str(tmp_path / "q.fasta"),
+                 "-d", str(tmp_path / "db"), "-r", "4", "--tab",
+                 "--devices", "1"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("tq\t")]
+    assert len(lines) == 4
+    top = lines[0].split("\t")
+    assert len(top) == 12
+    # self-hit: subject tseq9, 100% identity over 50 columns, full spans
+    assert top[1] == "tseq9"
+    assert float(top[2]) == 100.0 and int(top[3]) == 50
+    assert int(top[4]) == 0 and int(top[5]) == 0           # mism, gapopen
+    assert (int(top[6]), int(top[7])) == (1, 50)           # qstart, qend
+    assert int(top[8]) == 1 and int(top[9]) == 50          # sstart, send
+    assert float(top[10]) < 1e-6                           # evalue
+    assert float(top[11]) > 20                             # bits
