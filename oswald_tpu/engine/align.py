@@ -63,15 +63,17 @@ def sw_align(query, subject, submat, open_gap: int, extend_gap: int,
 
     query, subject: int8 encoded residues (alphabet.encode)
     submat:         int[24, 24] substitution matrix
-    max_cells:      guard against pathological (query x subject) sizes —
-                    the flag matrix is (m+1)(n+1) bytes
+    max_cells:      size bound for the quadratic-memory flag matrix — a
+                    (query x subject) problem bigger than this is routed
+                    to the O(m+n)-memory divide-and-conquer path
+                    (sw_align_linear) instead of allocating (m+1)(n+1)
+                    traceback bytes
     """
     a = np.asarray(query, np.int64)
     b = np.asarray(subject, np.int64)
     m, n = len(a), len(b)
     if (m + 1) * (n + 1) > max_cells:
-        raise ValueError(
-            f"alignment matrix {m}x{n} exceeds max_cells={max_cells}")
+        return sw_align_linear(query, subject, submat, open_gap, extend_gap)
     if m == 0 or n == 0:
         return Alignment(0, 0, -1, 0, -1, "", "", "", 0, 0, 0)
     sub = np.asarray(submat, np.int64)
@@ -148,7 +150,11 @@ def sw_align(query, subject, submat, open_gap: int, extend_gap: int,
             i -= 1
     qa.reverse()
     sa.reverse()
+    return _build_alignment(qa, sa, sub, best, i + 1, bi, j + 1, bj)
 
+
+def _build_alignment(qa, sa, sub, best, q_start, q_end, s_start, s_end):
+    """Assemble an Alignment from gapped code lists (-1 = gap)."""
     ident = pos = gaps = 0
     mid = []
     for qc, sc in zip(qa, sa):
@@ -167,9 +173,214 @@ def sw_align(query, subject, submat, open_gap: int, extend_gap: int,
     q_aln = "".join("-" if c < 0 else decode([c]) for c in qa)
     s_aln = "".join("-" if c < 0 else decode([c]) for c in sa)
     return Alignment(score=int(best),
-                     q_start=i + 1, q_end=bi, s_start=j + 1, s_end=bj,
+                     q_start=q_start, q_end=q_end,
+                     s_start=s_start, s_end=s_end,
                      q_aln=q_aln, s_aln=s_aln, midline="".join(mid),
                      identities=ident, positives=pos, gaps=gaps)
+
+
+def _local_best_end(a, b, sub, ge, oeg):
+    """Score-only local sweep: (best, bi, bj) with the END cell of an
+    optimal local alignment, 1-based, earliest row then earliest column —
+    the same tie-break sw_align's flagged sweep uses."""
+    m, n = len(a), len(b)
+    h_prev = np.zeros(n + 1, np.int64)
+    f_prev = np.full(n + 1, _NEG, np.int64)
+    jdx = np.arange(1, n + 1, dtype=np.int64)
+    e = np.empty(n + 1, np.int64)
+    e[0] = e[1] = _NEG
+    best, bi, bj = np.int64(0), 0, 0
+    for i in range(1, m + 1):
+        srow = sub[a[i - 1], b]
+        f = np.maximum(f_prev[1:] - ge, h_prev[1:] - oeg)
+        diag = h_prev[:-1] + srow
+        curp = np.maximum(np.maximum(diag, 0), f)
+        acc = np.maximum.accumulate(curp - oeg + jdx * ge)
+        e[2:] = acc[:-1] - jdx[:-1] * ge
+        h = np.maximum(curp, e[1:])
+        rb = int(np.argmax(h))
+        if h[rb] > best:
+            best, bi, bj = h[rb], i, rb + 1
+        h_prev = np.concatenate([[0], h])
+        f_prev = np.concatenate([[_NEG], f])
+    return int(best), bi, bj
+
+
+def _global_sweep(a, b, sub, ge, oeg, og, tb, track_best=False):
+    """Global affine-gap (Gotoh) sweep in O(n) memory.
+
+    Computes, for the full matrix of a vs b, the last row of
+      CC[j] = best global score of a[1..m] vs b[1..j]   (any end state)
+      DD[j] = best score whose last step deletes a_m    (F state)
+    `tb` is the gap-OPEN cost charged to a deletion run that begins at the
+    TOP boundary (Myers-Miller: 0 when the parent problem's gap continues
+    across the split, og otherwise).  E-gaps (insertions) never cross a
+    row split, so they always pay og.
+
+    track_best additionally returns the maximum CC cell over ALL rows
+    (earliest row, then earliest column) — used by sw_align_linear's
+    anchored reverse pass to locate the local alignment's start.
+    """
+    m, n = len(a), len(b)
+    jdx = np.arange(1, n + 1, dtype=np.int64)
+    cc = np.empty(n + 1, np.int64)
+    cc[0] = 0
+    cc[1:] = -(og + jdx * ge)
+    dd = cc - tb          # pending F candidates: F[1][j] >= CC0[j]-tb-ge
+    kdx = np.arange(n, dtype=np.int64)
+    x = np.empty(n, np.int64)
+    best, bi, bj = _NEG, 0, 0
+    for i in range(1, m + 1):
+        srow = sub[a[i - 1], b]
+        dd = np.maximum(dd - ge, cc - oeg)          # F[i][0..n]
+        diag = cc[:-1] + srow
+        curp = np.maximum(diag, dd[1:])             # E-free part, j=1..n
+        # E[i][j] = max over k<j of (X[k] - oeg - (j-1-k)*ge), where X[0]
+        # is column 0's H (= F[i][0]) and X[k>=1] = curp[k] — the same
+        # prefix-max decomposition sw_align uses (valid because og >= 0
+        # makes opening-from-E dominated by extending)
+        x[0] = dd[0]
+        x[1:] = curp[:-1]
+        acc = np.maximum.accumulate(x - oeg + kdx * ge)
+        enew = acc - (jdx - 1) * ge
+        hrow = np.maximum(curp, enew)
+        cc[0] = dd[0]
+        cc[1:] = hrow
+        if track_best:
+            rb = int(np.argmax(hrow))
+            if hrow[rb] > best:
+                best, bi, bj = hrow[rb], i, rb + 1
+    return cc, dd, int(best), bi, bj
+
+
+def _mm_rec(a, b, sub, ge, oeg, og, tb, te, ops):
+    """Myers-Miller divide-and-conquer global alignment (CABIOS 1988),
+    score-maximising form.  Appends ("M",1)/("I",len)/("D",len) ops —
+    I consumes subject (gap in query), D consumes query (gap in subject).
+    tb/te: gap-open cost for deletion runs touching the top/bottom
+    boundary (0 = the parent's gap continues across it)."""
+    m, n = len(a), len(b)
+    if m == 0:
+        if n:
+            ops.append(("I", n))
+        return
+    if n == 0:
+        ops.append(("D", m))
+        return
+    if m == 1:
+        # delete a_0 entirely (one D run + one I run) ...
+        best_del = -(min(tb, te) + ge) - (og + n * ge)
+        # ... or match a_0 to some b_j with insert runs either side
+        j0 = np.arange(n, dtype=np.int64)
+        left = np.where(j0 > 0, -(og + j0 * ge), 0)
+        right = np.where(j0 < n - 1, -(og + (n - 1 - j0) * ge), 0)
+        tot = left + sub[a[0], b] + right
+        jb = int(np.argmax(tot))
+        if int(tot[jb]) >= best_del:
+            if jb:
+                ops.append(("I", jb))
+            ops.append(("M", 1))
+            if n - 1 - jb:
+                ops.append(("I", n - 1 - jb))
+        else:
+            ops.append(("D", 1))
+            ops.append(("I", n))
+        return
+    mid = m // 2
+    ccf, ddf, *_ = _global_sweep(a[:mid], b, sub, ge, oeg, og, tb)
+    ccr, ddr, *_ = _global_sweep(a[mid:][::-1], b[::-1], sub, ge, oeg,
+                                 og, te)
+    t1 = ccf + ccr[::-1]
+    # a deletion run spanning the split pays open twice (once in ddf,
+    # once in ddr); one open is refunded so the joined run pays it once
+    t2 = ddf + ddr[::-1] + og
+    j1 = int(np.argmax(t1))
+    j2 = int(np.argmax(t2))
+    if int(t1[j1]) >= int(t2[j2]):
+        _mm_rec(a[:mid], b[:j1], sub, ge, oeg, og, tb, og, ops)
+        _mm_rec(a[mid:], b[j1:], sub, ge, oeg, og, og, te, ops)
+    else:
+        # the split cell is inside a deletion run: a_mid and a_{mid+1}
+        # are both deleted; the run continues across both sub-boundaries
+        _mm_rec(a[:mid - 1], b[:j2], sub, ge, oeg, og, tb, 0, ops)
+        ops.append(("D", 2))
+        _mm_rec(a[mid + 1:], b[j2:], sub, ge, oeg, og, 0, te, ops)
+
+
+def _ops_to_codes(ops, a, b):
+    """Expand ("M"/"I"/"D", len) ops into gapped code lists (-1 = gap)."""
+    qa, sa = [], []
+    i = j = 0
+    for op, L in ops:
+        if op == "M":
+            for _ in range(L):
+                qa.append(int(a[i]))
+                sa.append(int(b[j]))
+                i += 1
+                j += 1
+        elif op == "I":
+            qa.extend([-1] * L)
+            sa.extend(int(c) for c in b[j:j + L])
+            j += L
+        else:
+            qa.extend(int(c) for c in a[i:i + L])
+            sa.extend([-1] * L)
+            i += L
+    return qa, sa
+
+
+def sw_align_linear(query, subject, submat, open_gap: int,
+                    extend_gap: int) -> Alignment:
+    """Exact local alignment in O(m+n) MEMORY (Hirschberg / Myers-Miller).
+
+    Same result contract as sw_align (score parity with the device
+    kernel) without the quadratic traceback matrix, so arbitrarily large
+    (query x subject) problems align in bounded memory at ~4x the
+    sweep time.  Three phases:
+      1. score-only local sweep      -> best score + END cell (bi, bj)
+      2. global-prefix sweep over the REVERSED prefixes a[:bi], b[:bj],
+         maximised over all cells    -> START cell (anchored: a global
+         alignment of reversed prefixes ending at its best cell begins
+         with the pair (bi, bj), since boundary gaps only lose score)
+      3. Myers-Miller divide-and-conquer global alignment of the
+         [start..end] window, O(n) rows kept at a time
+    The reference has no traceback at all (score-only report,
+    /root/reference/host/src/FPGAsearch.c:306-321); this extends
+    oswald-tpu's beyond-reference traceback to unbounded problem sizes.
+    """
+    a = np.asarray(query, np.int64)
+    b = np.asarray(subject, np.int64)
+    if len(a) == 0 or len(b) == 0:
+        return Alignment(0, 0, -1, 0, -1, "", "", "", 0, 0, 0)
+    sub = np.asarray(submat, np.int64)
+    ge = np.int64(extend_gap)
+    og = np.int64(open_gap)
+    oeg = og + ge
+    best, bi, bj = _local_best_end(a, b, sub, ge, oeg)
+    if best <= 0:
+        return Alignment(0, 0, -1, 0, -1, "", "", "", 0, 0, 0)
+    _, _, rbest, ri, rj = _global_sweep(
+        a[:bi][::-1], b[:bj][::-1], sub, ge, oeg, og, og, track_best=True)
+    if rbest != best:       # impossible unless the sweeps disagree
+        raise RuntimeError(
+            f"linear-space start search scored {rbest}, forward {best}")
+    i0, j0 = bi - ri + 1, bj - rj + 1
+    ops = []
+    _mm_rec(a[i0 - 1:bi], b[j0 - 1:bj], sub, ge, oeg, og, og, og, ops)
+    qa, sa = _ops_to_codes(ops, a[i0 - 1:bi], b[j0 - 1:bj])
+    # defensive end-to-end check: rescore the emitted alignment
+    sc, in_gap = 0, False
+    for qc, sc_ in zip(qa, sa):
+        if qc < 0 or sc_ < 0:
+            sc -= int(ge + (0 if in_gap else og))
+            in_gap = True
+        else:
+            sc += int(sub[qc, sc_])
+            in_gap = False
+    if sc != best:
+        raise RuntimeError(
+            f"linear-space traceback scored {sc}, expected {best}")
+    return _build_alignment(qa, sa, sub, best, i0, bi, j0, bj)
 
 
 def align_hits(db, query, result, submat, open_gap: int, extend_gap: int):

@@ -12,7 +12,8 @@ import pytest
 from oswald_tpu.alphabet import encode, DUMMY
 from oswald_tpu.core import sw_score_numpy
 from oswald_tpu.submat import get_submat
-from oswald_tpu.engine.align import sw_align, align_hits, format_alignment
+from oswald_tpu.engine.align import sw_align, sw_align_linear, \
+    align_hits, format_alignment
 from oswald_tpu.io import pack_sequences
 from oswald_tpu.engine import SearchEngine, SearchConfig
 
@@ -90,6 +91,60 @@ def test_traceback_zero_score():
         np.random.default_rng(1), 20), sub, 10, 2)
     assert aln.score == 0 and aln.length == 0
     assert "(no alignment" in format_alignment(aln)
+
+
+@pytest.mark.parametrize("matrix,og,eg", [
+    ("blosum62", 10, 2),
+    ("pam30", 9, 1),
+    ("blosum50", 5, 5),
+    ("blosum62", 0, 1),           # zero open: all-gap-cost-is-extend edge
+])
+def test_linear_space_matches_quadratic(rng, matrix, og, eg):
+    """sw_align_linear must reproduce the quadratic path's score exactly,
+    and its emitted alignment must rescore to that score (optimal paths
+    may differ when ties exist; scores may not)."""
+    sub = get_submat(matrix)
+    for _ in range(25):
+        m = int(rng.integers(1, 120))
+        n = int(rng.integers(1, 150))
+        a, b = random_protein(rng, m), random_protein(rng, n)
+        ref = sw_align(a, b, sub, og, eg)
+        lin = sw_align_linear(a, b, sub, og, eg)
+        assert lin.score == ref.score
+        if lin.score > 0:
+            assert _rescore_alignment(lin, sub, og, eg) == lin.score
+            qn = sum(1 for c in lin.q_aln if c != "-")
+            sn = sum(1 for c in lin.s_aln if c != "-")
+            assert lin.q_end - lin.q_start + 1 == qn
+            assert lin.s_end - lin.s_start + 1 == sn
+
+
+def test_linear_space_gapped_and_identical():
+    sub = get_submat("blosum62")
+    q = encode("MKVLATGHWCEDYFRNQPIS")
+    s = np.concatenate([q[:8], q[12:]])
+    lin = sw_align_linear(q, s, sub, 10, 2)
+    assert lin.score == sw_score_numpy(q, s, sub, 10, 2)
+    assert _rescore_alignment(lin, sub, 10, 2) == lin.score
+    assert lin.gaps == 4
+    ident = sw_align_linear(q, q, sub, 10, 2)
+    assert ident.q_aln == "MKVLATGHWCEDYFRNQPIS" == ident.s_aln
+    assert ident.score == int(sub[q, q].sum())
+    # zero-score input returns the empty alignment, like sw_align
+    z = sw_align_linear(np.full(5, DUMMY, np.int8),
+                        encode("MKVLA"), sub, 10, 2)
+    assert z.score == 0 and z.length == 0
+
+
+def test_max_cells_dispatches_to_linear_space(rng):
+    """An over-the-guard problem no longer raises: sw_align transparently
+    answers through the O(m+n)-memory path."""
+    sub = get_submat("blosum62")
+    a, b = random_protein(rng, 300), random_protein(rng, 400)
+    ref = sw_align(a, b, sub, 10, 2)                  # quadratic
+    lin = sw_align(a, b, sub, 10, 2, max_cells=1000)  # forced linear
+    assert lin.score == ref.score
+    assert _rescore_alignment(lin, sub, 10, 2) == lin.score
 
 
 def test_align_hits_match_engine_scores(rng):
