@@ -30,9 +30,9 @@ def _user_errors():
         raise _CLIError(str(e)) from e
 
 
-def _add_search_args(sp):
-    sp.add_argument("-q", "--query", required=True,
-                    help="query FASTA filename")
+def _add_engine_args(sp):
+    """Flags shared by `search` and `serve`: everything that shapes the
+    engine rather than a single query run."""
     sp.add_argument("-d", "--db", required=True,
                     help="preprocessed database path (.oswt)")
     sp.add_argument("-s", "--sm", default="blosum62",
@@ -64,6 +64,12 @@ def _add_search_args(sp):
                          "(MiB); mainly for testing the mode selection")
     sp.add_argument("--u-rows", type=int, default=8)
     sp.add_argument("--group-block", type=int, default=2)
+
+
+def _add_search_args(sp):
+    _add_engine_args(sp)
+    sp.add_argument("-q", "--query", required=True,
+                    help="query FASTA filename")
     sp.add_argument("--no-batch", action="store_true",
                     help="search queries one program at a time instead of "
                          "batching by padded length")
@@ -111,8 +117,66 @@ def build_parser():
     sp = sub.add_parser("search", help="search a packed database")
     _add_search_args(sp)
 
+    sv = sub.add_parser(
+        "serve",
+        help="HTTP JSON search server over a warm engine (the reference "
+             "is one-shot; serving keeps the compiled programs and device "
+             "profiles resident across queries)")
+    _add_engine_args(sv)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8731)
+    sv.add_argument("--warmup-qlen", type=int, default=512,
+                    help="precompile the padded-query ladder up to this "
+                         "length before accepting requests (0 = skip; "
+                         "default: 512)")
+
     sub.add_parser("info", help="TPU device information")
     return p
+
+
+def _build_engine(args):
+    """Engine construction shared by `search` and `serve`: validate the
+    scoring flags, load the database, build the (possibly distributed)
+    engine.  Returns (db, engine, n_dev, setup_s)."""
+    import jax
+    if getattr(args, "distributed", False):
+        from oswald_tpu.dist import bootstrap
+        bootstrap()
+    from oswald_tpu.io.db import load_db
+    from oswald_tpu.engine import SearchEngine, SearchConfig
+    from oswald_tpu.submat import get_submat
+
+    with _user_errors():
+        get_submat(args.sm)
+        cfg = SearchConfig(matrix=args.sm, open_gap=args.gap_open,
+                           extend_gap=args.gap_extend, top=args.top,
+                           u_rows=args.u_rows,
+                           group_block=args.group_block,
+                           profile_mode=args.profile_mode,
+                           hbm_budget_bytes=args.hbm_budget_mb << 20
+                           if args.hbm_budget_mb else None)
+        n_dev = args.devices if args.devices is not None else \
+            jax.device_count()
+        if n_dev > 1:
+            from oswald_tpu.dist import make_device_mesh
+            mesh = make_device_mesh(n_dev)
+        t_setup = time.perf_counter()
+        db = load_db(args.db)
+
+    if n_dev > 1:
+        from oswald_tpu.dist import DistributedSearchEngine
+        engine = DistributedSearchEngine(db, cfg, mesh=mesh)
+    else:
+        engine = SearchEngine(db, cfg)
+    return db, engine, n_dev, time.perf_counter() - t_setup
+
+
+def cmd_serve(args):
+    from oswald_tpu.serve import serve_forever
+    db, engine, _, setup_s = _build_engine(args)
+    print(f"engine ready in {setup_s:.2f}s")
+    return serve_forever(db, engine, args.host, args.port,
+                         warmup_qlen=args.warmup_qlen or None)
 
 
 def cmd_preprocess(args):
@@ -132,40 +196,14 @@ def cmd_preprocess(args):
 
 def cmd_search(args):
     import jax
-    if args.distributed:
-        from oswald_tpu.dist import bootstrap
-        bootstrap()
-    from oswald_tpu.io.db import load_db, load_queries
-    from oswald_tpu.engine import SearchEngine, SearchConfig
-    from oswald_tpu.submat import get_submat
+    from oswald_tpu.io.db import load_queries
 
     # validate user input up front (inside the friendly-error boundary);
     # anything raised past this point is an internal error and should
     # traceback, not masquerade as a usage error
     with _user_errors():
-        get_submat(args.sm)
-        cfg = SearchConfig(matrix=args.sm, open_gap=args.gap_open,
-                           extend_gap=args.gap_extend, top=args.top,
-                           u_rows=args.u_rows,
-                           group_block=args.group_block,
-                           profile_mode=args.profile_mode,
-                           hbm_budget_bytes=args.hbm_budget_mb << 20
-                           if args.hbm_budget_mb else None)
-        n_dev = args.devices if args.devices is not None else \
-            jax.device_count()
-        if n_dev > 1:
-            from oswald_tpu.dist import make_device_mesh
-            mesh = make_device_mesh(n_dev)
-        t_setup = time.perf_counter()
-        db = load_db(args.db)
         queries_titles, queries = load_queries(args.query)
-
-    if n_dev > 1:
-        from oswald_tpu.dist import DistributedSearchEngine
-        engine = DistributedSearchEngine(db, cfg, mesh=mesh)
-    else:
-        engine = SearchEngine(db, cfg)
-    setup_s = time.perf_counter() - t_setup
+    db, engine, n_dev, setup_s = _build_engine(args)
 
     import contextlib
     trace_ctx = contextlib.nullcontext()
@@ -310,7 +348,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     try:
         return {"preprocess": cmd_preprocess, "search": cmd_search,
-                "info": cmd_info}[args.op](args)
+                "serve": cmd_serve, "info": cmd_info}[args.op](args)
     except _CLIError as e:
         print(f"oswald-tpu: error: {e}", file=sys.stderr)
         return 2

@@ -1,0 +1,219 @@
+"""Warm search server: a persistent engine behind an HTTP JSON API.
+
+The reference is strictly one-shot (`main.c:35-67` loads the device
+binary, searches, exits) — every invocation repays device bring-up and
+profile upload.  On TPU those fixed costs are engine construction
+(~2 s at SwissProt scale) plus one XLA compile per (bin, padded-query)
+shape (~20-40 s cold), which dwarf a single millisecond-scale search.
+A production deployment therefore keeps ONE warm engine resident and
+streams queries at it; this module is that deployment shape.
+
+Endpoints (JSON in/out):
+
+  GET  /healthz   liveness + request counters (uptime, queries served,
+                  aggregate GCUPS) — the load-balancer probe.
+  GET  /info      database / config / device inventory.
+  POST /search    {"query": "MKTAYI..."} or {"queries": [...]} with
+                  optional "titles", "top" (<= the engine's configured
+                  top-k), and "align" (gapped traceback per hit).
+                  Returns per-query hit lists with scores, ids, titles,
+                  and — when the database supports the significance fit —
+                  E-values and bit scores.
+
+Concurrency: requests are parsed/serialised on a thread per connection
+(ThreadingHTTPServer), but engine dispatches are serialised under one
+lock — a single device executes one program at a time anyway, and
+batching within a request (`search_many`) is the throughput lever, not
+concurrent single-query dispatch.
+"""
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from oswald_tpu.alphabet import encode
+
+MAX_BODY_BYTES = 64 << 20  # refuse absurd request bodies early
+
+
+class SearchService:
+    """Engine wrapper with request accounting; independent of HTTP so it
+    can be embedded (tests drive it directly too)."""
+
+    def __init__(self, db, engine):
+        self.db = db
+        self.engine = engine
+        self.lock = threading.Lock()
+        self.t_start = time.time()
+        self.n_requests = 0
+        self.n_queries = 0
+        self.cells = 0          # true query-residues x db-residues scored
+        self.busy_s = 0.0
+
+    def search(self, payload: dict) -> dict:
+        queries = payload.get("queries")
+        if queries is None:
+            q = payload.get("query")
+            if q is None:
+                raise ValueError("body must have 'query' or 'queries'")
+            queries = [q]
+        if not isinstance(queries, list) or not queries:
+            raise ValueError("'queries' must be a non-empty list")
+        titles = payload.get("titles")
+        if titles is not None and len(titles) != len(queries):
+            raise ValueError("'titles' length must match 'queries'")
+        enc = []
+        for i, q in enumerate(queries):
+            if not isinstance(q, str) or not q.strip():
+                raise ValueError(f"query {i} must be a non-empty residue "
+                                 "string")
+            enc.append(encode(q.strip()))
+        top = payload.get("top")
+        k_max = min(self.engine.config.top, self.db.n_seqs)
+        if top is not None:
+            top = int(top)
+            if top < 1:
+                raise ValueError("'top' must be >= 1")
+            if top > k_max:
+                raise ValueError(
+                    f"'top' exceeds the server's configured top-k ({k_max});"
+                    " restart the server with a larger -r")
+        want_align = bool(payload.get("align", False))
+
+        t0 = time.perf_counter()
+        with self.lock:
+            results = self.engine.search_many(enc, titles)
+            alns = [self.engine.align(q, r)
+                    for q, r in zip(enc, results)] if want_align else None
+        dt = time.perf_counter() - t0
+
+        out = []
+        for qi, res in enumerate(results):
+            k = top if top is not None else len(res.scores)
+            hits = [{"score": int(s), "id": int(i), "title": t}
+                    for s, i, t in zip(res.scores[:k], res.seq_ids[:k],
+                                       res.titles[:k])]
+            if res.evalues is not None:
+                for h, e, b in zip(hits, res.evalues[:k],
+                                   res.bit_scores[:k]):
+                    h["evalue"] = float(e)
+                    h["bits"] = round(float(b), 1)
+            if alns is not None:
+                for h, a in zip(hits, alns[qi][:k]):
+                    h["alignment"] = {
+                        "q_start": a.q_start, "q_end": a.q_end,
+                        "s_start": a.s_start, "s_end": a.s_end,
+                        "q_aln": a.q_aln, "s_aln": a.s_aln,
+                        "midline": a.midline, "identities": a.identities,
+                        "positives": a.positives, "gaps": a.gaps}
+            out.append({"query": res.query_title,
+                        "length": res.query_length, "hits": hits})
+
+        Q = int(sum(len(q) for q in enc))
+        self.n_requests += 1
+        self.n_queries += len(enc)
+        self.cells += Q * self.db.n_residues
+        self.busy_s += dt
+        return {"results": out,
+                "search_s": round(dt, 4),
+                "gcups": round(Q * self.db.n_residues / dt / 1e9, 2)}
+
+    def health(self) -> dict:
+        return {"status": "ok",
+                "uptime_s": round(time.time() - self.t_start, 1),
+                "requests": self.n_requests,
+                "queries": self.n_queries,
+                "busy_s": round(self.busy_s, 3),
+                "lifetime_gcups": round(
+                    self.cells / max(self.busy_s, 1e-9) / 1e9, 2)}
+
+    def info(self) -> dict:
+        import jax
+        cfg = self.engine.config
+        return {"db": {"n_seqs": self.db.n_seqs,
+                       "n_residues": self.db.n_residues,
+                       "bins": [int(b) for b in self.db.bin_lengths]},
+                "config": {"matrix": cfg.matrix, "gap_open": cfg.open_gap,
+                           "gap_extend": cfg.extend_gap, "top": cfg.top,
+                           "profile_mode": getattr(self.engine, "mode",
+                                                   cfg.profile_mode)},
+                "backend": jax.default_backend(),
+                "devices": [f"{d.id}:{d.device_kind}"
+                            for d in jax.devices()]}
+
+
+def _make_handler(service: SearchService):
+    class Handler(BaseHTTPRequestHandler):
+        # stdlib default logs every request to stderr; keep the server
+        # quiet (counters live in /healthz)
+        def log_message(self, fmt, *args):
+            pass
+
+        def _reply(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, service.health())
+            elif self.path == "/info":
+                self._reply(200, service.info())
+            else:
+                self._reply(404, {"error": f"no such path: {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/search":
+                self._reply(404, {"error": f"no such path: {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_BODY_BYTES:
+                    self._reply(413, {"error": "request body too large"})
+                    return
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("body must be a JSON object")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"bad request body: {e}"})
+                return
+            try:
+                self._reply(200, service.search(payload))
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+
+    return Handler
+
+
+def make_server(service: SearchService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Bind (port 0 = ephemeral; read server.server_address)."""
+    return ThreadingHTTPServer((host, port), _make_handler(service))
+
+
+def serve_forever(db, engine, host: str, port: int,
+                  warmup_qlen: int | None = 512):
+    """CLI entry: warm the compile cache, bind, serve until interrupted."""
+    service = SearchService(db, engine)
+    if warmup_qlen:
+        t0 = time.perf_counter()
+        pads = engine.warmup(warmup_qlen)
+        print(f"warmup: compiled query pads {pads} "
+              f"in {time.perf_counter() - t0:.1f}s")
+    httpd = make_server(service, host, port)
+    addr = httpd.server_address
+    print(f"oswald-tpu serving {db.n_seqs} sequences "
+          f"({db.n_residues} residues) on http://{addr[0]}:{addr[1]}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+    return 0

@@ -1,0 +1,148 @@
+"""HTTP search server: request/response parity with the direct engine,
+error paths, counters.  Drives a real ThreadingHTTPServer on an ephemeral
+port (CPU backend, interpreter-mode kernel)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from oswald_tpu.alphabet import ALPHABET
+from oswald_tpu.io import pack_sequences
+from oswald_tpu.engine import SearchEngine, SearchConfig
+from oswald_tpu.serve import SearchService, make_server
+
+from conftest import random_protein
+
+
+@pytest.fixture(scope="module")
+def server():
+    rng = np.random.default_rng(7)
+    n = 60
+    lengths = rng.integers(20, 150, size=n)
+    seqs = [random_protein(rng, int(l)) for l in lengths]
+    db = pack_sequences(np.concatenate(seqs), lengths,
+                        [f"srv{i}" for i in range(n)])
+    engine = SearchEngine(db, SearchConfig(top=5))
+    service = SearchService(db, engine)
+    httpd = make_server(service, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{httpd.server_address[0]}:{httpd.server_address[1]}"
+    yield base, service, engine, seqs
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _to_str(codes):
+    return "".join(ALPHABET[c] for c in codes)
+
+
+def test_healthz_and_info(server):
+    base, service, engine, seqs = server
+    code, h = _get(base + "/healthz")
+    assert code == 200 and h["status"] == "ok"
+    code, info = _get(base + "/info")
+    assert code == 200
+    assert info["db"]["n_seqs"] == 60
+    assert info["config"]["matrix"] == "blosum62"
+
+
+def test_search_parity_with_direct_engine(server):
+    base, service, engine, seqs = server
+    q = seqs[11]
+    code, out = _post(base + "/search", {"query": _to_str(q)})
+    assert code == 200
+    hits = out["results"][0]["hits"]
+    direct = engine.search(q)
+    assert [h["score"] for h in hits] == [int(s) for s in direct.scores]
+    assert [h["title"] for h in hits] == direct.titles
+    # the self-sequence must rank first
+    assert hits[0]["title"] == "srv11"
+    # significance columns present (60-seq db supports the fit)
+    assert "evalue" in hits[0] and "bits" in hits[0]
+    assert out["search_s"] > 0 and out["gcups"] >= 0
+
+
+def test_batch_titles_top_and_counters(server):
+    base, service, engine, seqs = server
+    before = service.n_queries
+    payload = {"queries": [_to_str(seqs[3]), _to_str(seqs[4][:30])],
+               "titles": ["a", "b"], "top": 2}
+    code, out = _post(base + "/search", payload)
+    assert code == 200
+    assert [r["query"] for r in out["results"]] == ["a", "b"]
+    assert all(len(r["hits"]) == 2 for r in out["results"])
+    code, h = _get(base + "/healthz")
+    assert h["queries"] == before + 2
+
+
+def test_align_rescores(server):
+    base, service, engine, seqs = server
+    code, out = _post(base + "/search",
+                      {"query": _to_str(seqs[20]), "align": True})
+    assert code == 200
+    top = out["results"][0]["hits"][0]
+    aln = top["alignment"]
+    # self-hit: a gapless identity alignment over the full sequence
+    assert aln["gaps"] == 0
+    assert aln["identities"] == len(seqs[20])
+    assert aln["q_aln"] == aln["s_aln"] == _to_str(seqs[20])
+
+
+def test_error_paths(server):
+    base, service, engine, seqs = server
+    code, out = _post(base + "/search", {})
+    assert code == 400 and "query" in out["error"]
+    code, out = _post(base + "/search", {"queries": []})
+    assert code == 400
+    code, out = _post(base + "/search", {"query": "MKT", "top": 99})
+    assert code == 400 and "top" in out["error"]
+    code, out = _post(base + "/search", {"query": "   "})
+    assert code == 400
+    code, out = _post(base + "/search",
+                      {"queries": ["MKT"], "titles": ["a", "b"]})
+    assert code == 400
+    # malformed JSON body
+    req = urllib.request.Request(
+        base + "/search", data=b"{not json",
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+    code, out = _get(base + "/nope")
+    assert code == 404
+
+
+def test_cli_serve_parser():
+    """The serve subcommand parses its flags (no server started)."""
+    from oswald_tpu.cli.main import build_parser
+    args = build_parser().parse_args(
+        ["serve", "-d", "x.oswt", "-r", "20", "--port", "0",
+         "--warmup-qlen", "0"])
+    assert args.op == "serve" and args.top == 20 and args.warmup_qlen == 0
