@@ -13,9 +13,11 @@ Endpoints (JSON in/out):
   GET  /healthz   liveness + request counters (uptime, queries served,
                   aggregate GCUPS) — the load-balancer probe.
   GET  /info      database / config / device inventory.
-  POST /search    {"query": "MKTAYI..."} or {"queries": [...]} with
-                  optional "titles", "top" (<= the engine's configured
-                  top-k), and "align" (gapped traceback per hit).
+  POST /search    {"query": "MKTAYI..."}, {"queries": [...]}, or
+                  {"fasta": ">q1\\nMKT..."} (multi-record FASTA text,
+                  titles from the headers) with optional "titles", "top"
+                  (<= the engine's configured top-k), and "align"
+                  (gapped traceback per hit).
                   Returns per-query hit lists with scores, ids, titles,
                   and — when the database supports the significance fit —
                   E-values and bit scores.
@@ -54,23 +56,39 @@ class SearchService:
         self.busy_s = 0.0
 
     def search(self, payload: dict) -> dict:
-        queries = payload.get("queries")
-        if queries is None:
-            q = payload.get("query")
-            if q is None:
-                raise ValueError("body must have 'query' or 'queries'")
-            queries = [q]
-        if not isinstance(queries, list) or not queries:
-            raise ValueError("'queries' must be a non-empty list")
-        titles = payload.get("titles")
-        if titles is not None and len(titles) != len(queries):
-            raise ValueError("'titles' length must match 'queries'")
-        enc = []
-        for i, q in enumerate(queries):
-            if not isinstance(q, str) or not q.strip():
-                raise ValueError(f"query {i} must be a non-empty residue "
-                                 "string")
-            enc.append(encode(q.strip()))
+        fasta = payload.get("fasta")
+        if fasta is not None:
+            # multi-record FASTA text: titles come from the headers
+            if payload.get("query") is not None or \
+                    payload.get("queries") is not None:
+                raise ValueError("'fasta' is exclusive with "
+                                 "'query'/'queries'")
+            from oswald_tpu.io.fasta import parse_fasta_bytes
+            titles, flat, lengths = parse_fasta_bytes(
+                fasta.encode("ascii", errors="replace"))
+            if (lengths == 0).any():
+                raise ValueError("FASTA contains an empty record")
+            offs = np.concatenate([[0], np.cumsum(lengths)])
+            enc = [flat[offs[i]:offs[i + 1]] for i in range(len(lengths))]
+        else:
+            queries = payload.get("queries")
+            if queries is None:
+                q = payload.get("query")
+                if q is None:
+                    raise ValueError(
+                        "body must have 'query', 'queries', or 'fasta'")
+                queries = [q]
+            if not isinstance(queries, list) or not queries:
+                raise ValueError("'queries' must be a non-empty list")
+            titles = payload.get("titles")
+            if titles is not None and len(titles) != len(queries):
+                raise ValueError("'titles' length must match 'queries'")
+            enc = []
+            for i, q in enumerate(queries):
+                if not isinstance(q, str) or not q.strip():
+                    raise ValueError(f"query {i} must be a non-empty "
+                                     "residue string")
+                enc.append(encode(q.strip()))
         top = payload.get("top")
         k_max = min(self.engine.config.top, self.db.n_seqs)
         if top is not None:

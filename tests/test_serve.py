@@ -112,6 +112,41 @@ def test_align_rescores(server):
     assert aln["q_aln"] == aln["s_aln"] == _to_str(seqs[20])
 
 
+def test_fasta_payload(server):
+    base, service, engine, seqs = server
+    fasta = (f">qa first query\n{_to_str(seqs[5])}\n"
+             f">qb second\n{_to_str(seqs[8][:40])}\n")
+    code, out = _post(base + "/search", {"fasta": fasta, "top": 1})
+    assert code == 200
+    assert [r["query"] for r in out["results"]] == ["qa first query",
+                                                    "qb second"]
+    assert out["results"][0]["hits"][0]["title"] == "srv5"
+    # exclusive with query/queries
+    code, out = _post(base + "/search", {"fasta": fasta, "query": "MKT"})
+    assert code == 400 and "exclusive" in out["error"]
+    code, out = _post(base + "/search", {"fasta": "not fasta at all"})
+    assert code == 400
+
+
+def test_concurrent_requests(server):
+    """Engine dispatches serialise under the service lock; concurrent
+    clients each get their own correct result."""
+    base, service, engine, seqs = server
+    results = {}
+
+    def hit(qi):
+        code, out = _post(base + "/search", {"query": _to_str(seqs[qi])})
+        results[qi] = (code, out["results"][0]["hits"][0]["title"])
+
+    threads = [threading.Thread(target=hit, args=(qi,))
+               for qi in (7, 13, 25, 31)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results == {qi: (200, f"srv{qi}") for qi in (7, 13, 25, 31)}
+
+
 def test_error_paths(server):
     base, service, engine, seqs = server
     code, out = _post(base + "/search", {})
