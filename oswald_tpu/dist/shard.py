@@ -641,6 +641,23 @@ class DistributedSearchEngine:
         self._bin_fns[key] = fn
         return fn
 
+    def warmup(self, max_query_len: int = 512):
+        """Precompile every (bin, padded-query-shape) program for queries
+        up to max_query_len — same serving-deployment contract as
+        SearchEngine.warmup.  Returns the padded lengths compiled."""
+        m_pads = []
+        m = 1
+        while True:
+            m_pad = pad_query(np.zeros(m, np.int8), self.config).shape[0]
+            if not m_pads or m_pad != m_pads[-1]:
+                m_pads.append(m_pad)
+                self.search(np.full(min(m, max_query_len), DUMMY, np.int8))
+            if m_pad >= max_query_len:
+                break
+            m = m_pad + 1
+        self.metrics.add("warmup", 0.0)
+        return m_pads
+
     def align(self, query, result: SearchResult):
         """Gapped alignments for a SearchResult's hits (host post-pass;
         see SearchEngine.align).  Multi-host note: every process holds the

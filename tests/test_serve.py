@@ -174,6 +174,24 @@ def test_error_paths(server):
     assert code == 404
 
 
+def test_serve_distributed_engine(rng):
+    """The service runs over the 8-virtual-device distributed engine,
+    including the startup warmup (which DistributedSearchEngine must
+    implement for the serve path)."""
+    from oswald_tpu.dist import DistributedSearchEngine
+    n = 40
+    lengths = rng.integers(20, 100, size=n)
+    seqs = [random_protein(rng, int(l)) for l in lengths]
+    db = pack_sequences(np.concatenate(seqs), lengths,
+                        [f"d{i}" for i in range(n)])
+    eng = DistributedSearchEngine(db, SearchConfig(top=3))
+    pads = eng.warmup(64)
+    assert pads and pads[-1] >= 64
+    service = SearchService(db, eng)
+    out = service.search({"query": _to_str(seqs[17])})
+    assert out["results"][0]["hits"][0]["title"] == "d17"
+
+
 def test_cli_serve_parser():
     """The serve subcommand parses its flags (no server started)."""
     from oswald_tpu.cli.main import build_parser
