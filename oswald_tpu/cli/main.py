@@ -296,16 +296,18 @@ def cmd_search(args):
             for sc, title in zip(res.scores, res.titles):
                 print(f"{int(sc)}\t{title}")
         if args.histogram:
-            if hasattr(engine, "score_all"):
-                import numpy as np
-                from oswald_tpu.stats import histogram_report
+            import numpy as np
+            from oswald_tpu.stats import histogram_report
+            try:
                 flat = np.asarray(engine.score_all(queries[i]))
+            except ValueError as e:
+                # the distributed host_stream engine never materialises
+                # the full score vector (see dist.score_all)
+                print(f"\n(--histogram: {e})", file=sys.stderr)
+            else:
                 print("\n" + histogram_report(
                     flat[engine.ids_flat >= 0], res.stats,
                     engine._len_hist), end="")
-            else:
-                print("\n(--histogram: single-chip engine only; rerun "
-                      "with --devices 1)", file=sys.stderr)
         if alignments is not None:
             from oswald_tpu.engine.align import format_alignment
             for title, aln in zip(res.titles, alignments[i]):

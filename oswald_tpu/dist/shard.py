@@ -543,6 +543,76 @@ class DistributedSearchEngine:
         self._bin_fns[key] = fn
         return fn
 
+    def _bin_scores_fn(self, L: int):
+        """Compiled per-bin shard_map returning the FULL slot-score vector
+        (all_gathered over the mesh, replicated) — the diagnostic analog
+        of SearchEngine.score_all.  O(G·1024) readback instead of O(k),
+        so it only runs when explicitly requested (CLI -H histogram)."""
+        key = ("all", L)
+        if key in self._bin_fns:
+            return self._bin_fns[key]
+        u_rows, interpret = self.config.u_rows, self._interpret
+        gb, acc, cu, na = (self.config.group_block, self._acc,
+                           self.config.col_unroll, self._noadj)
+        precompute = self.mode == "precompute"
+        geom = self.bin_geom.get(L)
+
+        def local_fn(q_pad, gaps, submat, data):
+            if precompute:
+                prof_flat, tail_flat = data
+                off, C, G_loc, toff = geom
+                scores = _search_bin_flat_impl(
+                    q_pad, gaps, prof_flat, tail_flat, off, C, G_loc,
+                    toff, u_rows, interpret, gb, acc, cu, na)
+            else:
+                main, tail = data
+                scores = _search_bin_stream_impl(q_pad, gaps, submat, main,
+                                                 u_rows, interpret, gb, acc,
+                                                 tail, cu, na)
+            # tiled gather in mesh-axis order == the global slot order of
+            # self.ids[L] (its group axis is sharded contiguously per
+            # device), so the result aligns with ids_flat
+            return jax.lax.all_gather(scores.reshape(-1), AXIS, tiled=True)
+
+        data_spec = (P(AXIS), P(AXIS)) if precompute else \
+            (P(None, AXIS), P(AXIS))
+        fn = jax.jit(jax.shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(), data_spec),
+            out_specs=P(),
+            check_vma=False))
+        self._bin_fns[key] = fn
+        return fn
+
+    def score_all(self, query) -> np.ndarray:
+        """Scores for every packed slot in ids_flat order (slots with
+        id -1 are padding).  Not available in host_stream mode, where the
+        full score vector never materialises device-side."""
+        if self.mode == "host_stream":
+            raise ValueError("score_all is not available in host_stream "
+                             "mode (scores stream through the mesh in "
+                             "slices)")
+        q_pad = jnp.asarray(self._pad_query(query))
+        outs = []
+        for L in self.db.bin_lengths:
+            data = (self.prof_flat, self.tail_flat) if \
+                self.mode == "precompute" else self.seq_stacks[L]
+            outs.append(self._bin_scores_fn(L)(
+                q_pad, self.gaps, self.submat_dev, data))
+        return np.concatenate([np.asarray(o) for o in outs]) if outs \
+            else np.zeros(0, np.int32)
+
+    @property
+    def ids_flat(self) -> np.ndarray:
+        """Sorted-sequence id per packed slot, bin-major then device-major
+        within each bin — the slot order score_all returns (-1 = padding)."""
+        if getattr(self, "_ids_flat", None) is None:
+            parts = [np.asarray(self.ids[L]).reshape(-1)
+                     for L in self.db.bin_lengths]
+            self._ids_flat = np.concatenate(parts) if parts \
+                else np.zeros(0, np.int32)
+        return self._ids_flat
+
     def _pad_query(self, query):
         return pad_query(query, self.config)
 

@@ -95,3 +95,31 @@ def test_distributed_search_many_batched(rng):
         np.testing.assert_array_equal(rb.scores, rs.scores)
         np.testing.assert_array_equal(rb.seq_ids, rs.seq_ids)
     assert dist.metrics.count("search_batch") == 1
+
+
+@pytest.mark.parametrize("profile_mode", ["precompute", "stream"])
+def test_dist_score_all_matches_single_chip(rng, profile_mode):
+    """score_all (the -H histogram path) on the 8-device mesh: the
+    per-sequence score multiset must equal the single-chip engine's."""
+    db, seqs, lengths = _make_db(rng, 1300, 150, bin_cost=1)
+    single = SearchEngine(db, SearchConfig(top=5))
+    dist = DistributedSearchEngine(
+        db, SearchConfig(top=5, profile_mode=profile_mode))
+    q = random_protein(rng, 47)
+
+    sa = np.asarray(single.score_all(q))
+    sm = np.asarray(single.ids_flat)
+    da = dist.score_all(q)
+    dm = dist.ids_flat
+    assert da.shape == dm.shape
+    want = dict(zip(sm[sm >= 0].tolist(), sa[sm >= 0].tolist()))
+    got = dict(zip(dm[dm >= 0].tolist(), da[dm >= 0].tolist()))
+    assert got == want
+
+
+def test_dist_score_all_host_stream_refuses(rng):
+    db, _, _ = _make_db(rng, 600, 60)
+    dist = DistributedSearchEngine(
+        db, SearchConfig(top=5, profile_mode="host_stream"))
+    with pytest.raises(ValueError, match="host_stream"):
+        dist.score_all(random_protein(rng, 30))
