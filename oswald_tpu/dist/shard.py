@@ -45,7 +45,7 @@ from oswald_tpu.engine.search import (
     _search_bin_stream_batch_impl, _search_bin_flat_pack_impl,
     _search_bin_stream_pack_impl, _search_bin_hostslice_impl,
     _split_packed, _result_stats, _db_len_stats, pad_query,
-    pack_plan, pack_chunk,
+    pack_plan, pack_chunk, resolve_exact_acc_dtype,
 )
 from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics
@@ -189,7 +189,8 @@ class DistributedSearchEngine:
         self.ndev = self.mesh.devices.size
         self.submat = get_submat(self.config.matrix)
         self._interpret = self.config.resolved_interpret()
-        self._acc = self.config.resolved_acc_dtype()
+        # fp32 demotes to int32 past the float32 exact-integer bound
+        self._acc = resolve_exact_acc_dtype(self.config, self.submat, db)
         # relaxed E-update (one fewer op/cell) when exact for this
         # matrix/gap config — see kernels.noadj_ok
         self._noadj = noadj_ok(self.submat, self.config.extend_gap)
@@ -711,22 +712,13 @@ class DistributedSearchEngine:
         self._bin_fns[key] = fn
         return fn
 
-    def warmup(self, max_query_len: int = 512):
+    def warmup(self, max_query_len: int = 512, batch: bool = True):
         """Precompile every (bin, padded-query-shape) program for queries
-        up to max_query_len — same serving-deployment contract as
-        SearchEngine.warmup.  Returns the padded lengths compiled."""
-        m_pads = []
-        m = 1
-        while True:
-            m_pad = pad_query(np.zeros(m, np.int8), self.config).shape[0]
-            if not m_pads or m_pad != m_pads[-1]:
-                m_pads.append(m_pad)
-                self.search(np.full(min(m, max_query_len), DUMMY, np.int8))
-            if m_pad >= max_query_len:
-                break
-            m = m_pad + 1
-        self.metrics.add("warmup", 0.0)
-        return m_pads
+        up to max_query_len, single-query AND 2-query batched — same
+        serving-deployment contract as SearchEngine.warmup (shared
+        warmup_engine).  Returns the padded lengths compiled."""
+        from oswald_tpu.engine.search import warmup_engine
+        return warmup_engine(self, max_query_len, batch)
 
     def align(self, query, result: SearchResult):
         """Gapped alignments for a SearchResult's hits (host post-pass;

@@ -129,10 +129,16 @@ class SearchConfig:
                     "u_rows)")
         if self.top < 1:
             raise ValueError(f"top must be >= 1, got {self.top!r}")
-        if self.open_gap < 0 or self.extend_gap < 0:
+        # reference CLI contract: open gap 0..255, extend gap 0..127
+        # (/root/reference/host/src/arguments.c:81-92); the TPU kernel is
+        # exact at any width, but accepting values the reference rejects
+        # would make the two CLIs disagree on the same flag string
+        if not (0 <= self.open_gap <= 255):
             raise ValueError(
-                f"gap penalties must be non-negative, got open="
-                f"{self.open_gap!r} extend={self.extend_gap!r}")
+                f"open_gap must be in [0, 255], got {self.open_gap!r}")
+        if not (0 <= self.extend_gap <= 127):
+            raise ValueError(
+                f"extend_gap must be in [0, 127], got {self.extend_gap!r}")
         if self.acc_dtype not in ("int32", "float32"):
             raise ValueError(
                 f"acc_dtype must be 'int32' or 'float32', got "
@@ -154,6 +160,42 @@ class SearchConfig:
 
     def resolved_acc_dtype(self):
         return {"int32": jnp.int32, "float32": jnp.float32}[self.acc_dtype]
+
+
+# Largest integer magnitude a float32 represents exactly (24-bit mantissa).
+# Module-level (not inlined) so the exactness-guard test can shrink it and
+# exercise the int32 fallback on an ordinary-sized database.
+FP32_EXACT_LIMIT = 1 << 24
+
+
+def resolve_exact_acc_dtype(config: "SearchConfig", submat, db):
+    """The kernel accumulator dtype, demoted to int32 when fp32 exactness
+    is not PROVABLE for this (matrix, database) pair.
+
+    Every DP intermediate is bounded by max_score + max(submat) where
+    max_score <= min(m, n) * max(submat) <= L_max * max(submat) (n, the
+    subject length, never exceeds the longest bin).  When that bound stays
+    under 2^24 every value is an exactly-representable float32 integer and
+    fp32 (the ~10% faster issue rate, SearchConfig.acc_dtype) is exact for
+    EVERY query length; otherwise — degenerate megaresidue-scale subjects —
+    the engine silently switches to int32 rather than lose exactness.  The
+    reference faces the analogous width problem per-lane and solves it with
+    its 8->16->32-bit escalation ladder
+    (/root/reference/host/src/HybridSearch.c:398-609); here the guard is a
+    one-time static bound check.
+    """
+    acc = config.resolved_acc_dtype()
+    if acc != jnp.float32:
+        return acc
+    smax = int(np.max(submat))
+    l_max = max(db.bin_lengths, default=0)
+    if smax > 0 and (l_max + 1) * smax >= FP32_EXACT_LIMIT:
+        print(
+            f"oswald-tpu: fp32 accumulator demoted to int32 — max subject "
+            f"bin {l_max} x max substitution score {smax} reaches the "
+            f"float32 exact-integer limit (2^24)", file=sys.stderr)
+        return jnp.int32
+    return acc
 
 
 @dataclasses.dataclass
@@ -612,6 +654,43 @@ def pack_chunk(padded, sub, S: int, m_pad: int) -> np.ndarray:
     return qm.reshape(-1)
 
 
+def warmup_engine(engine, max_query_len: int = 512, batch: bool = True):
+    """Shared warmup for both engines: precompile every (bin, padded-query)
+    program for queries up to max_query_len, and (batch=True) a 2-query
+    search_many per batch pad class so the first multi-query request does
+    not pay the batched/packed programs' XLA compile either (single-query
+    warmup alone leaves the ("batch"/"pack", L, k) programs cold).  Larger
+    batches whose pack size exceeds 2 still compile their own (m_pad, S)
+    program on first sight — the pack ladder is logarithmic, so a serving
+    deployment converges after a handful of requests.  Returns the single-
+    query padded lengths compiled."""
+    m_pads = []
+    m = 1
+    while True:
+        m_pad = pad_query(np.zeros(m, np.int8), engine.config).shape[0]
+        if not m_pads or m_pad != m_pads[-1]:
+            m_pads.append(m_pad)
+            engine.search(np.full(min(m, max_query_len), DUMMY, np.int8))
+        if m_pad >= max_query_len:
+            break
+        m = m_pad + 1
+    if batch:
+        b_pads = set()
+        m = 1
+        while True:
+            m_pad = pad_query(np.zeros(m, np.int8), engine.config,
+                              for_batch=True).shape[0]
+            if m_pad not in b_pads:
+                b_pads.add(m_pad)
+                q = np.full(min(m, max_query_len), DUMMY, np.int8)
+                engine.search_many([q, q])
+            if m_pad >= max_query_len:
+                break
+            m = m_pad + 1
+    engine.metrics.add("warmup", 0.0)
+    return m_pads
+
+
 def pad_query(query, config: "SearchConfig", for_batch: bool = False):
     """Pad an encoded query with DUMMY rows per config.query_pad_quantum
     (adaptive: see SearchConfig; batched searches use the coarser
@@ -648,7 +727,9 @@ class SearchEngine:
         self.config = config or SearchConfig()
         self.submat = get_submat(self.config.matrix)
         self._interpret = self.config.resolved_interpret()
-        self._acc = self.config.resolved_acc_dtype()
+        # fp32 accumulation demotes to int32 when the score bound reaches
+        # the float32 exact-integer limit (see resolve_exact_acc_dtype)
+        self._acc = resolve_exact_acc_dtype(self.config, self.submat, db)
         # relaxed E-update (one fewer op/cell) when exact for this
         # matrix/gap config — see kernels.noadj_ok
         self._noadj = noadj_ok(self.submat, self.config.extend_gap)
@@ -940,23 +1021,13 @@ class SearchEngine:
                             titles=titles, elapsed=elapsed,
                             evalues=ev, bit_scores=bits, stats=st)
 
-    def warmup(self, max_query_len: int = 512):
+    def warmup(self, max_query_len: int = 512, batch: bool = True):
         """Precompile every (bin, padded-query-shape) program for queries up
-        to max_query_len — a serving deployment calls this once so the
-        first real query doesn't pay XLA compilation.  Returns the list of
+        to max_query_len, single-query AND 2-query batched (see
+        warmup_engine) — a serving deployment calls this once so the first
+        real query doesn't pay XLA compilation.  Returns the list of
         padded lengths compiled."""
-        m_pads = []
-        m = 1
-        while True:
-            m_pad = pad_query(np.zeros(m, np.int8), self.config).shape[0]
-            if not m_pads or m_pad != m_pads[-1]:
-                m_pads.append(m_pad)
-                self.search(np.full(min(m, max_query_len), DUMMY, np.int8))
-            if m_pad >= max_query_len:
-                break
-            m = m_pad + 1
-        self.metrics.add("warmup", 0.0)
-        return m_pads
+        return warmup_engine(self, max_query_len, batch)
 
     def align(self, query, result: SearchResult):
         """Gapped alignments (traceback) for a SearchResult's hits — a

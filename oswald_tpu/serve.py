@@ -59,6 +59,8 @@ class SearchService:
         fasta = payload.get("fasta")
         if fasta is not None:
             # multi-record FASTA text: titles come from the headers
+            if not isinstance(fasta, str):
+                raise ValueError("'fasta' must be a string")
             if payload.get("query") is not None or \
                     payload.get("queries") is not None:
                 raise ValueError("'fasta' is exclusive with "
@@ -81,8 +83,12 @@ class SearchService:
             if not isinstance(queries, list) or not queries:
                 raise ValueError("'queries' must be a non-empty list")
             titles = payload.get("titles")
-            if titles is not None and len(titles) != len(queries):
-                raise ValueError("'titles' length must match 'queries'")
+            if titles is not None:
+                if not isinstance(titles, list) or \
+                        not all(isinstance(t, str) for t in titles):
+                    raise ValueError("'titles' must be a list of strings")
+                if len(titles) != len(queries):
+                    raise ValueError("'titles' length must match 'queries'")
             enc = []
             for i, q in enumerate(queries):
                 if not isinstance(q, str) or not q.strip():
@@ -92,7 +98,8 @@ class SearchService:
         top = payload.get("top")
         k_max = min(self.engine.config.top, self.db.n_seqs)
         if top is not None:
-            top = int(top)
+            if not isinstance(top, int) or isinstance(top, bool):
+                raise ValueError("'top' must be an integer")
             if top < 1:
                 raise ValueError("'top' must be >= 1")
             if top > k_max:
@@ -131,10 +138,14 @@ class SearchService:
                         "length": res.query_length, "hits": hits})
 
         Q = int(sum(len(q) for q in enc))
-        self.n_requests += 1
-        self.n_queries += len(enc)
-        self.cells += Q * self.db.n_residues
-        self.busy_s += dt
+        # counter updates under the lock: ThreadingHTTPServer runs one
+        # thread per connection, and unlocked read-modify-writes would
+        # under-count /healthz stats under concurrent load
+        with self.lock:
+            self.n_requests += 1
+            self.n_queries += len(enc)
+            self.cells += Q * self.db.n_residues
+            self.busy_s += dt
         return {"results": out,
                 "search_s": round(dt, 4),
                 "gcups": round(Q * self.db.n_residues / dt / 1e9, 2)}
@@ -203,7 +214,9 @@ def _make_handler(service: SearchService):
                 return
             try:
                 self._reply(200, service.search(payload))
-            except ValueError as e:
+            except (ValueError, TypeError, AttributeError, KeyError) as e:
+                # type-confused payloads (e.g. {"fasta": 123}) must come
+                # back as a 400, not a dropped connection + traceback
                 self._reply(400, {"error": str(e)})
 
     return Handler

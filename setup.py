@@ -12,8 +12,19 @@ import subprocess
 
 from setuptools import setup
 from setuptools.command.build_py import build_py
+from setuptools.dist import Distribution
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+class BinaryDistribution(Distribution):
+    """The wheel carries a platform-specific liboswald_io.so, so it must
+    get a platform tag — a py3-none-any wheel would install a non-loadable
+    .so on other platforms (masked by the numpy fallback, but silently
+    losing the native fast path)."""
+
+    def has_ext_modules(self):
+        return True
 
 
 class BuildWithNative(build_py):
@@ -34,4 +45,5 @@ class BuildWithNative(build_py):
             shutil.copy2(so, dst)
 
 
-setup(cmdclass={"build_py": BuildWithNative})
+setup(cmdclass={"build_py": BuildWithNative},
+      distclass=BinaryDistribution)

@@ -168,7 +168,39 @@ def test_config_validation():
         SearchConfig(acc_dtype="int64")
     with pytest.raises(ValueError):
         SearchConfig(profile_mode="bogus")
+    # reference flag ranges: open gap 0..255, extend gap 0..127
+    # (/root/reference/host/src/arguments.c:81-92)
+    with pytest.raises(ValueError):
+        SearchConfig(open_gap=256)
+    with pytest.raises(ValueError):
+        SearchConfig(extend_gap=128)
+    SearchConfig(open_gap=255, extend_gap=127)   # reference maxima accepted
     SearchConfig(u_rows=16, group_block=4)   # valid
+
+
+def test_fp32_exactness_guard(rng, monkeypatch):
+    """Past the float32 exact-integer bound the engine must demote the
+    accumulator to int32 and still score exactly.  Real databases only hit
+    the bound with megaresidue subjects, so the test shrinks the module
+    limit instead of allocating one."""
+    import jax.numpy as jnp
+    import oswald_tpu.engine.search as es
+
+    db, seqs, lengths = _make_db(rng, 400, 120)
+    q = random_protein(rng, 40)
+    want = _oracle_scores(q, db, seqs, lengths, get_submat("blosum62"),
+                          10, 2)
+
+    # untouched limit: fp32 stays (the bound holds easily at L_max ~128)
+    eng = SearchEngine(db, SearchConfig(acc_dtype="float32"))
+    assert eng._acc == jnp.float32
+
+    # shrunken limit: demote, and the int32 path is still exact
+    monkeypatch.setattr(es, "FP32_EXACT_LIMIT", 64)
+    eng2 = SearchEngine(db, SearchConfig(acc_dtype="float32"))
+    assert eng2._acc == jnp.int32
+    got = np.asarray(eng2.score_all(q))[np.asarray(eng2.valid)]
+    np.testing.assert_array_equal(got, want)
 
 
 def test_engine_warmup(rng):

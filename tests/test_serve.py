@@ -174,6 +174,22 @@ def test_error_paths(server):
     assert code == 404
 
 
+def test_type_confused_payloads(server):
+    """Wrong-typed fields must come back as a 400 JSON error, not a
+    dropped connection (the handler only caught ValueError before)."""
+    base, service, engine, seqs = server
+    for payload in ({"fasta": 123},
+                    {"query": "MKT", "top": [1]},
+                    {"query": "MKT", "top": "ten"},
+                    {"query": "MKT", "top": True},
+                    {"queries": ["MKT"], "titles": "a"},
+                    {"queries": ["MKT"], "titles": [7]},
+                    {"queries": [123]},
+                    {"query": 42}):
+        code, out = _post(base + "/search", payload)
+        assert code == 400 and "error" in out, payload
+
+
 def test_serve_distributed_engine(rng):
     """The service runs over the 8-virtual-device distributed engine,
     including the startup warmup (which DistributedSearchEngine must
