@@ -49,10 +49,33 @@ def main():
                    help="mesh size: >1 uses DistributedSearchEngine for "
                         "aggregate-TCUPS / scaling-efficiency measurement "
                         "on multi-chip hosts")
+    p.add_argument("--skip-parity", action="store_true",
+                   help="skip the asserting hardware-parity pre-stage "
+                        "(iteration only; recorded runs must include it)")
     args = p.parse_args()
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
+
+    # Asserting correctness gate: the compiled kernel (the exact binary
+    # the timings below run) must match the independent oracle BEFORE any
+    # number is recorded — a perf figure without it could certify a fast
+    # miscompile.  Any mismatch fails the bench (rc 2).
+    parity = {"parity": "skipped"}
+    if not args.skip_parity:
+        from oswald_tpu.utils.parity import run_parity
+        # off-TPU the kernels run interpreted (already CI-covered): keep
+        # the gate's runtime proportionate with a smaller database
+        parity = run_parity(n=4096 if on_tpu else 128,
+                            lmax=700 if on_tpu else 200,
+                            titin_sample=256 if on_tpu else 4,
+                            log=lambda m: print(m, file=sys.stderr))
+        if parity["parity"] != "ok":
+            print(json.dumps(parity), file=sys.stderr)
+            print(json.dumps({"metric": "GCUPS", "value": 0.0,
+                              "unit": "GCUPS", "vs_baseline": 0.0,
+                              "parity": "FAIL"}))
+            sys.exit(2)
     # default TPU db ~ SwissProt scale (BASELINE.json config 2); larger DBs
     # amortise per-bin overheads and pad less (sorted groups get tighter)
     n_seqs = args.seqs if args.seqs is not None else (300_000 if on_tpu
@@ -130,9 +153,13 @@ def main():
     if args.suite:
         run_suite(db, eng, rng, on_tpu, file=sys.stderr)
 
+    # the parity certificate rides the recorded tail next to the number it
+    # certifies (VERDICT r2 item 1)
+    print(json.dumps(parity), file=sys.stderr)
     print(json.dumps({"metric": "GCUPS", "value": round(gcups, 2),
                       "unit": "GCUPS",
-                      "vs_baseline": round(gcups / 179.0, 3)}))
+                      "vs_baseline": round(gcups / 179.0, 3),
+                      "parity": parity["parity"]}))
 
 
 def run_suite(db, eng, rng, on_tpu, file):

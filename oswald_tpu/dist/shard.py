@@ -45,7 +45,7 @@ from oswald_tpu.engine.search import (
     _search_bin_stream_batch_impl, _search_bin_flat_pack_impl,
     _search_bin_stream_pack_impl, _search_bin_hostslice_impl,
     _split_packed, _result_stats, _db_len_stats, pad_query,
-    pack_plan, pack_chunk, resolve_exact_acc_dtype,
+    mixed_pack_plan, MIXED_PACK_SEGS, resolve_exact_acc_dtype,
 )
 from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics
@@ -729,11 +729,14 @@ class DistributedSearchEngine:
         return align_hits(self.db, query, result, self.submat,
                           self.config.open_gap, self.config.extend_gap)
 
-    def _bin_pack_fn(self, L: int, k: int, q_segs: int):
+    def _bin_pack_fn(self, L: int, k: int, q_segs: int, n_used: int):
         """Compiled per-bin shard_map for a PACKED query batch: q_segs
-        independent queries as row segments of one kernel pass per shard
-        (see engine.search._search_bin_flat_pack_impl)."""
-        key = ("pack", L, k, q_segs)
+        independent queries as row segments of one kernel pass per shard,
+        laid out by a dynamic seg_map (mixed lengths; see
+        engine.search._search_bin_flat_pack_impl / mixed_pack_plan).
+        n_used: slot count the merge keeps (pow2 — slots beyond the bin's
+        query count are uninitialised and must not reach top_k)."""
+        key = ("pack", L, k, q_segs, n_used)
         if key in self._bin_fns:
             return self._bin_fns[key]
         u_rows, interpret = self.config.u_rows, self._interpret
@@ -742,19 +745,21 @@ class DistributedSearchEngine:
         precompute = self.mode == "precompute"
         geom = self.bin_geom.get(L)
 
-        def local_fn(q_packed, gaps, submat, data, ids, lnl_table):
+        def local_fn(q_packed, seg_map, gaps, submat, data, ids,
+                     lnl_table):
             if precompute:
                 prof_flat, tail_flat = data
                 off, C, G_loc, toff = geom
                 scores = _search_bin_flat_pack_impl(
                     q_packed, gaps, prof_flat, tail_flat, off, C, G_loc,
-                    toff, q_segs, u_rows, interpret, gb, acc, cu, na)
+                    toff, q_segs, u_rows, interpret, gb, acc, cu, na,
+                    seg_map=seg_map)
             else:
                 main, tail = data
                 scores = _search_bin_stream_pack_impl(
                     q_packed, gaps, submat, main, q_segs, u_rows,
-                    interpret, gb, acc, tail, cu, na)
-            flat = scores.reshape(q_segs, -1)
+                    interpret, gb, acc, tail, cu, na, seg_map=seg_map)
+            flat = scores.reshape(q_segs, -1)[:n_used]
             idsf = ids.reshape(-1)
             masked = jnp.where(idsf[None] >= 0, flat, -1)
             kk = min(k, flat.shape[1])
@@ -773,7 +778,7 @@ class DistributedSearchEngine:
             (P(None, AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(
             local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), data_spec, P(AXIS), P()),
+            in_specs=(P(), P(), P(), P(), data_spec, P(AXIS), P()),
             out_specs=P(),
             check_vma=False))
         self._bin_fns[key] = fn
@@ -788,40 +793,43 @@ class DistributedSearchEngine:
             return [self.search(q, t) for q, t in zip(queries, titles)]
 
         t0 = time.perf_counter()
-        padded = [pad_query(q, self.config, for_batch=True)
-                  for q in queries]
-        by_len = {}
-        for i, qp in enumerate(padded):
-            by_len.setdefault(qp.shape[0], []).append(i)
-
         results = [None] * len(queries)
         k = min(self.config.top, max(self.db.n_seqs, 1))
         # dispatch every group's programs before blocking on any readback
         # (overlaps dispatch/compile of group j+1 with group j's compute)
         pending = []
+
+        # mixed-length packed bins (mixed_pack_plan is shared with the
+        # single-chip engine so both pack identically — their results are
+        # parity-tested against each other)
+        S = MIXED_PACK_SEGS
+        if self.mode in ("precompute", "stream"):
+            bins, rest = mixed_pack_plan(
+                self.config.batch_query_pack_rows, self.config.u_rows,
+                queries)
+        else:
+            bins, rest = [], list(range(len(queries)))
+        for sub, qp_np, sm_np in bins:
+            q_packed = jnp.asarray(qp_np)
+            seg_map = jnp.asarray(sm_np)
+            n2 = 1 << (len(sub) - 1).bit_length()
+            cands = []
+            for L in self.db.bin_lengths:
+                data = (self.prof_flat, self.tail_flat) if \
+                    self.mode == "precompute" else \
+                    self.seq_stacks[L]
+                cands.append(self._bin_pack_fn(L, k, S, n2)(
+                    q_packed, seg_map, self.gaps, self.submat_dev, data,
+                    self.ids[L], self.lnl_table))
+            pending.append((sub, cands, None, None, None, None, None))
+
+        # unpacked leftovers: batched per padded-length class
+        padded = {i: pad_query(queries[i], self.config, for_batch=True)
+                  for i in rest}
+        by_len = {}
+        for i in rest:
+            by_len.setdefault(padded[i].shape[0], []).append(i)
         for m_pad, idxs in by_len.items():
-            # packed segments for short queries (see SearchEngine's
-            # search_many / SearchConfig.batch_query_pack_rows; pack_plan
-            # is shared so both engines chunk identically)
-            S = pack_plan(self.config.batch_query_pack_rows, m_pad,
-                          len(idxs)) if self.mode in ("precompute",
-                                                      "stream") else 0
-            if S:
-                for c0 in range(0, len(idxs), S):
-                    sub = idxs[c0:c0 + S]
-                    q_packed = jnp.asarray(
-                        pack_chunk(padded, sub, S, m_pad))
-                    cands = []
-                    for L in self.db.bin_lengths:
-                        data = (self.prof_flat, self.tail_flat) if \
-                            self.mode == "precompute" else \
-                            self.seq_stacks[L]
-                        cands.append(self._bin_pack_fn(L, k, S)(
-                            q_packed, self.gaps, self.submat_dev, data,
-                            self.ids[L], self.lnl_table))
-                    pending.append((sub, cands, None, None, None, None,
-                                    None))
-                continue
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
             if self.mode == "host_stream":
                 # one streaming sweep of the database scores the whole

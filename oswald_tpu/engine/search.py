@@ -334,10 +334,19 @@ def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
     return carry[2].astype(jnp.int32)
 
 
+def _seg_start_mask(seg_map, R, q_segs, u_rows):
+    """bool[R] marking segment-start row blocks — from the dynamic seg_map
+    when given, else the uniform bps-periodic layout."""
+    if seg_map is None:
+        return (jnp.arange(R) % (R // q_segs)) == 0
+    return jnp.concatenate(
+        [jnp.ones((1,), bool), seg_map[1:] != seg_map[:-1]])
+
+
 def _search_bin_flat_pack_impl(q_packed, gaps, prof_flat, tail_flat, off,
                                C, G, toff, q_segs, u_rows, interpret,
                                group_block=1, acc_dtype=jnp.int32,
-                               col_unroll=16, noadj=False):
+                               col_unroll=16, noadj=False, seg_map=None):
     """Like `_search_bin_flat_impl` but with q_segs INDEPENDENT queries
     packed along the row axis (kernels.sw_chunk q_segs): one kernel pass
     per chunk scores every packed query, reading each profile block from
@@ -346,13 +355,15 @@ def _search_bin_flat_pack_impl(q_packed, gaps, prof_flat, tail_flat, off,
     q_segs — the fix for the short-query batch gap (qlen-64 batches
     measured ~0.6x the qlen-512 rate with the per-query scan).
 
-    q_packed: int32[q_segs * seg_rows] (each segment DUMMY-padded).
+    q_packed: int32[q_segs * seg_rows] (each segment DUMMY-padded), or —
+    with seg_map (int32[R], see sw_chunk) — UNEQUAL segments, so a mixed
+    100-400aa batch rides one program (mixed_pack_plan builds the layout).
     Returns int32[q_segs, G, 8, 128].
     """
     m_tot = q_packed.shape[0]
     A, POS = prof_flat.shape[1], prof_flat.shape[2]
     R = m_tot // u_rows
-    bps = R // q_segs
+    start = _seg_start_mask(seg_map, R, q_segs, u_rows)
     colH = jnp.zeros((G, m_tot, SUBLANES, LANES), acc_dtype)
     colE = jnp.zeros_like(colH)
     scores = jnp.zeros((G, q_segs, SUBLANES, LANES), acc_dtype)
@@ -364,14 +375,14 @@ def _search_bin_flat_pack_impl(q_packed, gaps, prof_flat, tail_flat, off,
              colH[:, u_rows - 1::u_rows][:, :-1]], axis=1)
         # segment-start row blocks take no carried diagonal from the
         # previous row (it belongs to the previous packed query)
-        colHd = colHd.at[:, ::bps].set(0)
+        colHd = jnp.where(start[None, :, None, None], 0, colHd)
         scores, colH, colE = sw_chunk(q_packed, gaps, prof_c, colH, colHd,
                                       colE, scores, u_rows=u_rows,
                                       group_block=group_block,
                                       acc_dtype=acc_dtype,
                                       interpret=interpret,
                                       col_unroll=col_unroll, noadj=noadj,
-                                      q_segs=q_segs)
+                                      q_segs=q_segs, seg_map=seg_map)
         return (colH, colE, scores)
 
     def body(c, carry):
@@ -392,14 +403,14 @@ def _search_bin_flat_pack_impl(q_packed, gaps, prof_flat, tail_flat, off,
 def _search_bin_stream_pack_impl(q_packed, gaps, submat, seq_chunks,
                                  q_segs, u_rows, interpret, group_block=1,
                                  acc_dtype=jnp.int32, seq_tail=None,
-                                 col_unroll=16, noadj=False):
+                                 col_unroll=16, noadj=False, seg_map=None):
     """Packed-segment variant of `_search_bin_stream_impl` (see
     `_search_bin_flat_pack_impl`): q_segs independent queries per kernel
     pass, so the per-chunk profile gather AND its HBM read are paid once
     per chunk for the whole pack.  Returns int32[q_segs, G, 8, 128]."""
     C, G = seq_chunks.shape[0], seq_chunks.shape[1]
     m_tot = q_packed.shape[0]
-    bps = (m_tot // u_rows) // q_segs
+    start = _seg_start_mask(seg_map, m_tot // u_rows, q_segs, u_rows)
     colH = jnp.zeros((G, m_tot, SUBLANES, LANES), acc_dtype)
     colE = jnp.zeros_like(colH)
     scores = jnp.zeros((G, q_segs, SUBLANES, LANES), acc_dtype)
@@ -410,14 +421,14 @@ def _search_bin_stream_pack_impl(q_packed, gaps, submat, seq_chunks,
         colHd = jnp.concatenate(
             [jnp.zeros((G, 1, SUBLANES, LANES), acc_dtype),
              colH[:, u_rows - 1::u_rows][:, :-1]], axis=1)
-        colHd = colHd.at[:, ::bps].set(0)
+        colHd = jnp.where(start[None, :, None, None], 0, colHd)
         scores, colH, colE = sw_chunk(q_packed, gaps, prof_c, colH, colHd,
                                       colE, scores, u_rows=u_rows,
                                       group_block=group_block,
                                       acc_dtype=acc_dtype,
                                       interpret=interpret,
                                       col_unroll=col_unroll, noadj=noadj,
-                                      q_segs=q_segs)
+                                      q_segs=q_segs, seg_map=seg_map)
         return (colH, colE, scores), None
 
     carry, _ = jax.lax.scan(one_chunk, (colH, colE, scores), seq_chunks)
@@ -630,28 +641,78 @@ def _host_topk(scores_flat, ids_flat, k):
     return masked[order].astype(np.int32), order
 
 
-def pack_plan(pack_rows: int, m_pad: int, n_queries: int) -> int:
-    """Packed-segment count S for a same-padded-length query group, or 0
-    when packing doesn't apply.  SHARED by the single-chip and distributed
-    engines — their results are parity-tested against each other, and the
-    chunking policy (pow2-rounded segment count capped by the row budget)
-    must stay identical for that to hold."""
-    if not pack_rows:
-        return 0
-    cap = pack_rows // m_pad
-    if cap < 2:
-        return 0
-    S = min(cap, 1 << (n_queries - 1).bit_length())
-    return S if S >= 2 else 0
+# segment slots per mixed-pack bin: caps the per-bin query count (score
+# slab rows and top-k fan-out scale with it) while letting a full
+# 1024-row bin hold 32 tiny queries; the slab block in VMEM is (GB, 1,
+# 8, 128) regardless, so the cap is a top-k-cost knob, not a VMEM one
+MIXED_PACK_SEGS = 32
 
 
-def pack_chunk(padded, sub, S: int, m_pad: int) -> np.ndarray:
-    """One DUMMY-padded int32[S * m_pad] packed query vector (segments
-    beyond len(sub) stay all-DUMMY; their outputs are sliced away)."""
-    qm = np.full((S, m_pad), DUMMY, np.int32)
-    for row, i in enumerate(sub):
-        qm[row] = padded[i]
-    return qm.reshape(-1)
+def mixed_pack_plan(pack_rows: int, u_rows: int, queries,
+                    max_segs: int = MIXED_PACK_SEGS):
+    """First-fit-decreasing bin plan for a MIXED-length query batch.
+
+    Packs whole queries — padded only to the u_rows row quantum — into
+    bins of at most pack_rows rows and max_segs queries; each bin runs as
+    ONE packed kernel program (sw_chunk seg_map), so a mixed 100-400aa
+    batch reads each profile block from HBM once for up to max_segs
+    queries.  This is the general form of the reference's
+    all-queries-per-uploaded-chunk loop (arbitrary per-query m,
+    /root/reference/host/src/FPGAsearch.c:204-219).  A bin's row count is
+    rounded up to a power of two, and seg_map is a traced operand, so
+    every batch layout shares a logarithmic ladder of compiled programs
+    keyed by (rows, max_segs) only.
+
+    SHARED by the single-chip and distributed engines — their results are
+    parity-tested against each other, so the bin policy must stay
+    identical.
+
+    Returns (bins, rest): bins = [(idxs, q_packed int32[m_tot],
+    seg_map int32[m_tot//u_rows])] with idxs[s] the query in segment slot
+    s; rest = indices of queries too long to pack (> pack_rows rows) that
+    ride the per-pad-class batch path instead.
+    """
+    n = len(queries)
+    if not pack_rows or pack_rows // u_rows < 2 or n < 2:
+        return [], list(range(n))
+    r_cap = pack_rows // u_rows
+    qarrs = [np.asarray(q, np.int32) for q in queries]
+    for q in qarrs:
+        # same guard as pad_query (which packed queries bypass): raw
+        # ASCII would index the 24-row profile out of bounds
+        if q.size and (q.min() < 0 or q.max() > DUMMY):
+            raise ValueError(
+                "query contains codes outside 0..23 — encode residue "
+                "strings with oswald_tpu.encode() first")
+    blocks = [max(1, -(-int(q.size) // u_rows)) for q in qarrs]
+    rest = [i for i in range(n) if blocks[i] > r_cap]
+    order = sorted((i for i in range(n) if blocks[i] <= r_cap),
+                   key=lambda i: (-blocks[i], i))
+    bins = []                        # [used_blocks, [query index, ...]]
+    for i in order:
+        for b in bins:
+            if b[0] + blocks[i] <= r_cap and len(b[1]) < max_segs:
+                b[0] += blocks[i]
+                b[1].append(i)
+                break
+        else:
+            bins.append([blocks[i], [i]])
+    out = []
+    for used, idxs in bins:
+        rb = max(2, 1 << (used - 1).bit_length())
+        qp = np.full(rb * u_rows, DUMMY, np.int32)
+        sm = np.empty(rb, np.int32)
+        off = 0
+        for s, i in enumerate(idxs):
+            qp[off * u_rows: off * u_rows + qarrs[i].size] = qarrs[i]
+            sm[off: off + blocks[i]] = s
+            off += blocks[i]
+        # trailing filler blocks: a fresh all-DUMMY slot when one is free
+        # (score-inert, sliced away), else they extend the last segment
+        # with DUMMY rows (also score-inert)
+        sm[off:] = min(len(idxs), max_segs - 1)
+        out.append((idxs, qp, sm))
+    return out, rest
 
 
 def warmup_engine(engine, max_query_len: int = 512, batch: bool = True):
@@ -1048,63 +1109,69 @@ class SearchEngine:
             return [self.search(q, t) for q, t in zip(queries, titles)]
 
         t0 = time.perf_counter()
-        padded = [pad_query(q, self.config, for_batch=True)
-                  for q in queries]
-        by_len = {}
-        for i, qp in enumerate(padded):
-            by_len.setdefault(qp.shape[0], []).append(i)
-
         results = [None] * len(queries)
         k = min(self.config.top, self.db.n_seqs)
-        # two phases: dispatch EVERY padded-length group's programs before
-        # blocking on any readback, so group j+1's device work (and its
-        # host-side profile scheduling) overlaps group j's compute — the
-        # mixed-length analog of the per-bin async dispatch in search()
+        # two phases: dispatch EVERY group's programs before blocking on
+        # any readback, so group j+1's device work (and its host-side
+        # profile scheduling) overlaps group j's compute
         pending = []
+
+        # mixed-length packed bins: whole queries (any lengths) as row
+        # segments of one kernel program per bin (sw_chunk seg_map), so a
+        # mixed batch reads each profile block once for the whole bin
+        S = MIXED_PACK_SEGS
+        if self.mode in ("precompute", "stream"):
+            bins, rest = mixed_pack_plan(
+                self.config.batch_query_pack_rows, self.config.u_rows,
+                queries)
+        else:
+            bins, rest = [], list(range(len(queries)))
+        for sub, qp_np, sm_np in bins:
+            q_packed = jnp.asarray(qp_np)
+            seg_map = jnp.asarray(sm_np)
+            outs = []
+            for L in self.db.bin_lengths:
+                if self.mode == "stream":
+                    main, tail = self.seq_stacks[L]
+                    s = _search_bin_stream_pack(
+                        q_packed, self.gaps, self.submat_dev,
+                        main, q_segs=S,
+                        u_rows=self.config.u_rows,
+                        interpret=self._interpret,
+                        group_block=self.config.group_block,
+                        acc_dtype=self._acc, seq_tail=tail,
+                        col_unroll=self.config.col_unroll,
+                        noadj=self._noadj, seg_map=seg_map)
+                else:
+                    off, C, G, toff = self.bin_geom[L]
+                    s = _search_bin_flat_pack(
+                        q_packed, self.gaps, self.prof_flat,
+                        self.tail_flat if toff is not None
+                        else None,
+                        off, C=C, G=G, toff=toff, q_segs=S,
+                        u_rows=self.config.u_rows,
+                        interpret=self._interpret,
+                        group_block=self.config.group_block,
+                        acc_dtype=self._acc,
+                        col_unroll=self.config.col_unroll,
+                        noadj=self._noadj, seg_map=seg_map)
+                outs.append(s.reshape(S, -1))
+            # top-k over a pow2 slot count (not all S): unused slots are
+            # uninitialised, and the pow2 ladder bounds compile count
+            n2 = 1 << (len(sub) - 1).bit_length()
+            packed = jax.vmap(
+                lambda sc: _topk(sc, self.valid, self.lnl, k))(
+                    jnp.concatenate(outs, axis=1)[:n2])[:len(sub)]
+            pending.append((sub, packed, None, None, None, None, None))
+
+        # unpacked leftovers (longer than the pack-row budget): batched
+        # per padded-length class
+        padded = {i: pad_query(queries[i], self.config, for_batch=True)
+                  for i in rest}
+        by_len = {}
+        for i in rest:
+            by_len.setdefault(padded[i].shape[0], []).append(i)
         for m_pad, idxs in by_len.items():
-            # packed segments: several short queries per kernel program
-            # (see SearchConfig.batch_query_pack_rows / sw_chunk q_segs)
-            S = pack_plan(self.config.batch_query_pack_rows, m_pad,
-                          len(idxs)) if self.mode in ("precompute",
-                                                      "stream") else 0
-            if S:
-                for c0 in range(0, len(idxs), S):
-                    sub = idxs[c0:c0 + S]
-                    q_packed = jnp.asarray(
-                        pack_chunk(padded, sub, S, m_pad))
-                    outs = []
-                    for L in self.db.bin_lengths:
-                        if self.mode == "stream":
-                            main, tail = self.seq_stacks[L]
-                            s = _search_bin_stream_pack(
-                                q_packed, self.gaps, self.submat_dev,
-                                main, q_segs=S,
-                                u_rows=self.config.u_rows,
-                                interpret=self._interpret,
-                                group_block=self.config.group_block,
-                                acc_dtype=self._acc, seq_tail=tail,
-                                col_unroll=self.config.col_unroll,
-                                noadj=self._noadj)
-                        else:
-                            off, C, G, toff = self.bin_geom[L]
-                            s = _search_bin_flat_pack(
-                                q_packed, self.gaps, self.prof_flat,
-                                self.tail_flat if toff is not None
-                                else None,
-                                off, C=C, G=G, toff=toff, q_segs=S,
-                                u_rows=self.config.u_rows,
-                                interpret=self._interpret,
-                                group_block=self.config.group_block,
-                                acc_dtype=self._acc,
-                                col_unroll=self.config.col_unroll,
-                                noadj=self._noadj)
-                        outs.append(s.reshape(S, -1))
-                    packed = jax.vmap(
-                        lambda sc: _topk(sc, self.valid, self.lnl, k))(
-                            jnp.concatenate(outs, axis=1))[:len(sub)]
-                    pending.append((sub, packed, None, None,
-                                    None, None, None))
-                continue
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
             if self.mode == "host_stream":
                 # one streaming sweep of the database scores the whole

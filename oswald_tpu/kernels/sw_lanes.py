@@ -108,23 +108,37 @@ def noadj_ok(submat, extend_gap: int) -> bool:
 
 
 def _kernel(u_rows, gb, acc_dtype, col_unroll, noadj, bps, q_ref, gaps_ref,
-            prof_ref, colh_ref, colhd_ref, cole_ref, sin_ref, scores_ref,
-            colho_ref, coleo_ref, hrow_ref, fcol_ref):
+            *refs):
+    # bps is None in the DYNAMIC segment layout (unequal packed-query
+    # lengths): the segment map rides as a third scalar-prefetch ref and
+    # row block r belongs to slot seg_ref[r].  bps set = the static
+    # uniform layout (every segment bps row blocks).
+    if bps is None:
+        seg_ref, *refs = refs
+    else:
+        seg_ref = None
+    (prof_ref, colh_ref, colhd_ref, cole_ref, sin_ref, scores_ref,
+     colho_ref, coleo_ref, hrow_ref, fcol_ref) = refs
     r = pl.program_id(1)
     U = u_rows
     W = prof_ref.shape[2] // SUBLANES
     eg = gaps_ref[1].astype(acc_dtype)
     oeg = (gaps_ref[0] + gaps_ref[1]).astype(acc_dtype)
 
-    @pl.when(r % bps == 0)
+    if seg_ref is None:
+        is_seg_start = r % bps == 0
+    else:
+        is_seg_start = jnp.logical_or(
+            r == 0, seg_ref[r] != seg_ref[jnp.maximum(r - 1, 0)])
+
+    @pl.when(is_seg_start)
     def _init():
-        # first row block of a group OR of a packed-query segment (bps =
-        # row blocks per segment; see sw_chunk's q_segs): H[-1, :] = 0,
-        # F "candidates" = 0 (0 is equivalent to -inf here because
-        # H = max(0, ...) >= 0 and gap candidates only decay; same
-        # initialisation as sw.cl:39).  Zeroing at every segment start is
-        # exactly what makes packed segments independent queries — no DP
-        # state crosses the boundary.
+        # first row block of a group OR of a packed-query segment (see
+        # sw_chunk's q_segs): H[-1, :] = 0, F "candidates" = 0 (0 is
+        # equivalent to -inf here because H = max(0, ...) >= 0 and gap
+        # candidates only decay; same initialisation as sw.cl:39).
+        # Zeroing at every segment start is exactly what makes packed
+        # segments independent queries — no DP state crosses the boundary.
         hrow_ref[...] = jnp.zeros_like(hrow_ref)
         fcol_ref[...] = jnp.zeros_like(fcol_ref)
         scores_ref[...] = sin_ref[...]
@@ -235,7 +249,7 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
              u_rows: int = DEFAULT_U_ROWS, group_block: int = 1,
              acc_dtype=jnp.int32, interpret: bool = False,
              col_unroll: int = DEFAULT_COL_UNROLL, noadj: bool = False,
-             q_segs: int = 1):
+             q_segs: int = 1, seg_map=None):
     """Score one column chunk of the DP matrix for all groups.
 
     q:          int32[m_pad]               encoded query (scalar-prefetched)
@@ -257,6 +271,17 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
     packing multiplies arithmetic intensity by q_segs (the batched analog
     of the reference's per-query kernel loop inside one chunk round,
     FPGAsearch.c:204-219, which likewise reuses the uploaded chunk).
+    Default layout: equal m_pad/q_segs-row segments.
+
+    seg_map: optional int32[R] (R = m_pad/u_rows row blocks) giving each
+    row block's score-slab slot — UNEQUAL segment lengths, so a mixed
+    100-400aa query batch rides one program and one profile stream (the
+    general form of the reference's arbitrary-m per-query loop).  Slots
+    must be non-decreasing with block index, < q_segs, each slot's blocks
+    contiguous; trailing filler blocks may extend the last segment with
+    DUMMY rows (score-inert).  The map is a traced scalar-prefetch
+    operand: every layout with the same (m_pad, q_segs) shares ONE
+    compiled program.  None = the static uniform layout.
 
     group_block: independent groups interleaved per kernel step (latency
     hiding); must divide G.  col_unroll: columns advanced per fori-loop
@@ -285,14 +310,27 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
     if squeeze:
         scores_in = scores_in[:, None]
     assert scores_in.shape[1] == q_segs, (scores_in.shape, q_segs)
-    if R % q_segs:
-        raise ValueError(
-            f"q_segs={q_segs} must divide the {R} row blocks (m_pad "
-            f"{m_pad}, u_rows {u_rows})")
-    bps = R // q_segs                     # row blocks per segment
+    if seg_map is None:
+        if R % q_segs:
+            raise ValueError(
+                f"q_segs={q_segs} must divide the {R} row blocks (m_pad "
+                f"{m_pad}, u_rows {u_rows})")
+        bps = R // q_segs                 # row blocks per segment
+        seg_idx = lambda g, r, *_: (g, r // bps, 0, 0)
+        prefetch = (jnp.asarray(q, jnp.int32), jnp.asarray(gaps, jnp.int32))
+    else:
+        seg_map = jnp.asarray(seg_map, jnp.int32)
+        if seg_map.shape != (R,):
+            raise ValueError(
+                f"seg_map must have one slot per row block, expected "
+                f"({R},), got {seg_map.shape}")
+        bps = None                        # dynamic layout: slots from the map
+        seg_idx = lambda g, r, *s: (g, s[2][r], 0, 0)
+        prefetch = (jnp.asarray(q, jnp.int32), jnp.asarray(gaps, jnp.int32),
+                    seg_map)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(prefetch),
         grid=(G // GB, R),
         in_specs=[
             pl.BlockSpec((GB, ALPHA_SIZE, POS, LANES),
@@ -307,13 +345,11 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
             pl.BlockSpec((GB, U, SUBLANES, LANES),
                          lambda g, r, *_: (g, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, 1, SUBLANES, LANES),
-                         lambda g, r, *_: (g, r // bps, 0, 0),
+            pl.BlockSpec((GB, 1, SUBLANES, LANES), seg_idx,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((GB, 1, SUBLANES, LANES),
-                         lambda g, r, *_: (g, r // bps, 0, 0),
+            pl.BlockSpec((GB, 1, SUBLANES, LANES), seg_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GB, U, SUBLANES, LANES),
                          lambda g, r, *_: (g, r, 0, 0),
@@ -347,6 +383,5 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
         cost_estimate=pl.CostEstimate(
             flops=10 * cells, bytes_accessed=prof_chunk.size, transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray(q, jnp.int32), jnp.asarray(gaps, jnp.int32),
-      prof_chunk, colH, colHd, colE, scores_in)
+    )(*prefetch, prof_chunk, colH, colHd, colE, scores_in)
     return (scores[:, 0] if squeeze else scores), colH_out, colE_out
