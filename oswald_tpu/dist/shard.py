@@ -442,9 +442,6 @@ class DistributedSearchEngine:
         Q = qb.shape[0]
         cand_s, cand_i = [], []
         msum = msumsq = mslnl = np.zeros(Q, np.float64)
-        pending = None
-        nxt = self._hs_transfer(*self._hs_slices[0]) if self._hs_slices \
-            else None
 
         def _drain(packed):
             nonlocal msum, msumsq, mslnl
@@ -457,20 +454,35 @@ class DistributedSearchEngine:
             cand_s.append(arr[0, :, :-2])
             cand_i.append(arr[1, :, :-2])
 
-        for i, (L, lo, Gs) in enumerate(self._hs_slices):
-            dev = nxt
-            nxt = self._hs_transfer(*self._hs_slices[i + 1]) \
-                if i + 1 < len(self._hs_slices) else None
-            packed = self._hostslice_fn(L, Gs, k)(
-                qb, self.gaps, self.submat_dev, dev[0], dev[1],
-                self.lnl_table)
+        if not self.config.host_stream_overlap:
+            # forced-serial A/B reference (see SearchConfig): block on each
+            # slice's transfer and candidates before the next transfer —
+            # no link/compute overlap; identical results
+            for L, lo, Gs in self._hs_slices:
+                dev = self._hs_transfer(L, lo, Gs)
+                jax.block_until_ready(dev)
+                _drain(self._hostslice_fn(L, Gs, k)(
+                    qb, self.gaps, self.submat_dev, dev[0], dev[1],
+                    self.lnl_table))
+        else:
+            pending = None
+            nxt = self._hs_transfer(*self._hs_slices[0]) \
+                if self._hs_slices else None
+            for i, (L, lo, Gs) in enumerate(self._hs_slices):
+                dev = nxt
+                nxt = self._hs_transfer(*self._hs_slices[i + 1]) \
+                    if i + 1 < len(self._hs_slices) else None
+                packed = self._hostslice_fn(L, Gs, k)(
+                    qb, self.gaps, self.submat_dev, dev[0], dev[1],
+                    self.lnl_table)
+                if pending is not None:
+                    # blocking readback of slice i-1 (ONE packed transfer):
+                    # the backpressure that bounds in-flight slices (and
+                    # frees HBM)
+                    _drain(pending)
+                pending = packed
             if pending is not None:
-                # blocking readback of slice i-1 (ONE packed transfer): the
-                # backpressure that bounds in-flight slices (and frees HBM)
                 _drain(pending)
-            pending = packed
-        if pending is not None:
-            _drain(pending)
         if not cand_s:
             return (np.zeros((Q, 0), np.int32), np.zeros((Q, 0), np.int32),
                     msum, msumsq, mslnl)

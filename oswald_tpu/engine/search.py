@@ -80,6 +80,12 @@ class SearchConfig:
     # host_stream transfer granularity: target packed-residue bytes per
     # host->device slice (rounded to whole group_block multiples per bin).
     host_stream_slice_mb: int = 256
+    # host_stream double buffering: enqueue slice i+1's transfer before
+    # slice i's compute dispatch so the link and the VPU overlap.  False
+    # forces the serial transfer->compute->readback round — the A/B that
+    # PROVES the overlap (bench suite records the ratio); production
+    # always leaves this True.
+    host_stream_overlap: bool = True
     # Batched searches: pack up to this many QUERY ROWS of same-padded-
     # length queries into ONE kernel program as independent segments
     # (kernels.sw_chunk q_segs) — each profile block is read from HBM once
@@ -946,6 +952,20 @@ class SearchEngine:
                 for arr in self.host_slices[L]]
         cfg = self.config
         outs = []
+        if not cfg.host_stream_overlap:
+            # forced-serial A/B reference: block on each transfer, then on
+            # each compute, before touching the next slice — no link/VPU
+            # overlap.  Results are identical; only the schedule differs.
+            for L, arr in flat:
+                dev = jax.device_put(arr)
+                jax.block_until_ready(dev)
+                s = _search_bin_hostslice(qb, self.gaps, self.submat_dev,
+                                          dev, cfg.u_rows, self._interpret,
+                                          cfg.group_block, self._acc,
+                                          cfg.col_unroll, self._noadj)
+                outs.append(np.asarray(s).reshape(Q, -1))
+            return np.concatenate(outs, axis=1) if outs else \
+                np.zeros((Q, 0), np.int32)
         pending = None
         dev = jax.device_put(flat[0][1]) if flat else None
         for i, (L, arr) in enumerate(flat):

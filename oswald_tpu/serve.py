@@ -23,10 +23,14 @@ Endpoints (JSON in/out):
                   E-values and bit scores.
 
 Concurrency: requests are parsed/serialised on a thread per connection
-(ThreadingHTTPServer), but engine dispatches are serialised under one
-lock — a single device executes one program at a time anyway, and
-batching within a request (`search_many`) is the throughput lever, not
-concurrent single-query dispatch.
+(ThreadingHTTPServer); engine dispatches run on ONE dispatcher thread
+that drains the request queue through `search_many` — concurrent
+single-query clients coalesce into cross-request micro-batches (the
+continuous-batching shape: while batch i computes, arrivals accumulate
+into batch i+1), so N concurrent clients see batch throughput instead of
+serialised single-query throughput.  A single client with an idle engine
+dispatches immediately — the batching window is the engine's own busy
+time, not a fixed delay.
 """
 
 import json
@@ -41,6 +45,19 @@ from oswald_tpu.alphabet import encode
 MAX_BODY_BYTES = 64 << 20  # refuse absurd request bodies early
 
 
+class _Pending:
+    """One request's slot in the micro-batch queue."""
+
+    __slots__ = ("enc", "titles", "done", "results", "error")
+
+    def __init__(self, enc, titles):
+        self.enc = enc
+        self.titles = titles
+        self.done = threading.Event()
+        self.results = None
+        self.error = None
+
+
 class SearchService:
     """Engine wrapper with request accounting; independent of HTTP so it
     can be embedded (tests drive it directly too)."""
@@ -52,8 +69,57 @@ class SearchService:
         self.t_start = time.time()
         self.n_requests = 0
         self.n_queries = 0
+        self.n_dispatches = 0   # engine search_many calls (<= n_requests
+                                # under concurrent load: the micro-batcher)
         self.cells = 0          # true query-residues x db-residues scored
-        self.busy_s = 0.0
+        self.busy_s = 0.0       # engine time (not per-request wall time)
+        self._cv = threading.Condition()
+        self._queue = []        # [_Pending]
+        self._closed = False
+        self._dispatcher = threading.Thread(
+            target=self._drain_loop, name="oswald-dispatch", daemon=True)
+        self._dispatcher.start()
+
+    def close(self):
+        """Stop the dispatcher (pending requests still complete)."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._dispatcher.join(timeout=60)
+
+    def _drain_loop(self):
+        """Dispatcher: drain ALL queued requests into one `search_many`
+        per round.  Because the engine computes while new requests queue,
+        the coalescing window adapts to load with zero idle latency tax —
+        a lone request on an idle engine dispatches immediately."""
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if not self._queue and self._closed:
+                    return
+                batch, self._queue = self._queue, []
+            queries = [q for p in batch for q in p.enc]
+            titles = [t for p in batch for t in p.titles]
+            t0 = time.perf_counter()
+            try:
+                results = self.engine.search_many(queries, titles)
+            except Exception as e:          # noqa: BLE001 - fail the batch,
+                for p in batch:             # not the server
+                    p.error = e
+                    p.done.set()
+                continue
+            dt = time.perf_counter() - t0
+            with self.lock:
+                self.n_dispatches += 1
+                self.cells += sum(len(q) for q in queries) \
+                    * self.db.n_residues
+                self.busy_s += dt
+            off = 0
+            for p in batch:
+                p.results = results[off:off + len(p.enc)]
+                off += len(p.enc)
+                p.done.set()
 
     def search(self, payload: dict) -> dict:
         fasta = payload.get("fasta")
@@ -109,10 +175,24 @@ class SearchService:
         want_align = bool(payload.get("align", False))
 
         t0 = time.perf_counter()
-        with self.lock:
-            results = self.engine.search_many(enc, titles)
-            alns = [self.engine.align(q, r)
-                    for q, r in zip(enc, results)] if want_align else None
+        # per-request default titles BEFORE coalescing, so batched requests
+        # report the same names as unbatched ones
+        p = _Pending(enc, titles if titles is not None else
+                     [f"query{i}" for i in range(len(enc))])
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("service is shut down")
+            self._queue.append(p)
+            self._cv.notify()
+        p.done.wait()
+        if p.error is not None:
+            raise p.error
+        results = p.results
+        # alignment traceback is a host-side numpy post-pass over k hits
+        # (engine/align.py) — thread-safe, so it runs on the request
+        # thread, off the dispatcher's critical path
+        alns = [self.engine.align(q, r)
+                for q, r in zip(enc, results)] if want_align else None
         dt = time.perf_counter() - t0
 
         out = []
@@ -140,12 +220,11 @@ class SearchService:
         Q = int(sum(len(q) for q in enc))
         # counter updates under the lock: ThreadingHTTPServer runs one
         # thread per connection, and unlocked read-modify-writes would
-        # under-count /healthz stats under concurrent load
+        # under-count /healthz stats under concurrent load (cells/busy_s
+        # are engine-side and accounted by the dispatcher)
         with self.lock:
             self.n_requests += 1
             self.n_queries += len(enc)
-            self.cells += Q * self.db.n_residues
-            self.busy_s += dt
         return {"results": out,
                 "search_s": round(dt, 4),
                 "gcups": round(Q * self.db.n_residues / dt / 1e9, 2)}
@@ -155,6 +234,7 @@ class SearchService:
                 "uptime_s": round(time.time() - self.t_start, 1),
                 "requests": self.n_requests,
                 "queries": self.n_queries,
+                "dispatches": self.n_dispatches,
                 "busy_s": round(self.busy_s, 3),
                 "lifetime_gcups": round(
                     self.cells / max(self.busy_s, 1e-9) / 1e9, 2)}
@@ -247,4 +327,5 @@ def serve_forever(db, engine, host: str, port: int,
         pass
     finally:
         httpd.server_close()
+        service.close()
     return 0

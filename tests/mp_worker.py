@@ -52,6 +52,42 @@ def main():
     rb = eng.search_many([q1, q2], batch=True)
     assert np.array_equal(rb[0].scores, r1.scores), (rb[0].scores, r1.scores)
 
+    # stream under process_count == 2 (same db, same expected results)
+    e_stream = DistributedSearchEngine(
+        db, SearchConfig(top=12, profile_mode="stream"), mesh=mesh)
+    for q, ref in ((q1, r1), (q2, rb[1])):
+        r = e_stream.search(q)
+        assert np.array_equal(r.scores, ref.scores), (r.scores, ref.scores)
+        assert np.array_equal(np.asarray(r.seq_ids),
+                              np.asarray(ref.seq_ids))
+    rb2 = e_stream.search_many([q1, q2], batch=True)
+    assert np.array_equal(rb2[1].scores, rb[1].scores)
+    del e_stream
+
+    # host_stream under process_count == 2: executes the per-process
+    # slice math (dist/shard.py _hs_transfer / process_group_slice on
+    # streamed slices) that a single-process mesh never touches
+    # (VERDICT r2 item 8).  Needs a bin wider than one slice quantum, so
+    # a separate many-short-sequences db (16 groups/slice at 1 MiB).
+    rng2 = np.random.default_rng(1234)
+    n2 = 20000
+    lengths2 = rng2.integers(1, 60, size=n2)
+    flat2 = rng2.integers(0, 20, size=int(lengths2.sum())).astype(np.int8)
+    db2 = pack_sequences(flat2, lengths2, [f"t{i}" for i in range(n2)])
+    e_hs = DistributedSearchEngine(
+        db2, SearchConfig(top=12, profile_mode="host_stream",
+                          host_stream_slice_mb=1), mesh=mesh)
+    assert len(e_hs._hs_slices) > len(db2.bin_lengths), \
+        "host_stream test should stream multiple slices per bin"
+    e_ref = DistributedSearchEngine(
+        db2, SearchConfig(top=12, profile_mode="precompute"), mesh=mesh)
+    for q in (q1, q2):
+        r_hs, r_ref = e_hs.search(q), e_ref.search(q)
+        assert np.array_equal(r_hs.scores, r_ref.scores), \
+            (r_hs.scores, r_ref.scores)
+        assert np.array_equal(np.asarray(r_hs.seq_ids),
+                              np.asarray(r_ref.seq_ids))
+
     with open(out_path, "w") as f:
         json.dump({
             "rank": rank,

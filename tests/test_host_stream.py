@@ -85,6 +85,33 @@ def test_host_stream_batch(rng):
         np.testing.assert_array_equal(a.seq_ids, b.seq_ids)
 
 
+def test_host_stream_serial_matches_overlap(rng):
+    """host_stream_overlap=False (the forced-serial A/B used to measure
+    the double-buffering win) is schedule-only: results are bit-identical
+    on both engines.  The overlap RATIO itself is measured on hardware by
+    bench.py --suite (SCALING.md records it)."""
+    from oswald_tpu.dist import DistributedSearchEngine
+    db = _make_db(rng, 40000, 60)
+    q = random_protein(rng, 61)
+    base = SearchConfig(top=15, profile_mode="host_stream",
+                        host_stream_slice_mb=1)
+    ser_cfg = SearchConfig(top=15, profile_mode="host_stream",
+                           host_stream_slice_mb=1,
+                           host_stream_overlap=False)
+    ov = SearchEngine(db, base)
+    ser = SearchEngine(db, ser_cfg)
+    assert sum(len(v) for v in ov.host_slices.values()) > 2
+    r_ov, r_ser = ov.search(q), ser.search(q)
+    np.testing.assert_array_equal(r_ov.scores, r_ser.scores)
+    np.testing.assert_array_equal(r_ov.seq_ids, r_ser.seq_ids)
+    d_ov = DistributedSearchEngine(db, base)
+    d_ser = DistributedSearchEngine(db, ser_cfg)
+    rd_ov, rd_ser = d_ov.search(q), d_ser.search(q)
+    np.testing.assert_array_equal(rd_ov.scores, rd_ser.scores)
+    np.testing.assert_array_equal(rd_ov.seq_ids, rd_ser.seq_ids)
+    np.testing.assert_array_equal(r_ov.scores, rd_ov.scores)
+
+
 def test_planner_mode_selection(rng):
     db = _make_db(rng, 1100, 100)
     assert db_padded_bytes(db) > 0

@@ -4,6 +4,7 @@ port (CPU backend, interpreter-mode kernel)."""
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -145,6 +146,70 @@ def test_concurrent_requests(server):
     for t in threads:
         t.join(timeout=120)
     assert results == {qi: (200, f"srv{qi}") for qi in (7, 13, 25, 31)}
+
+
+def test_micro_batching_coalesces_concurrent_requests(server):
+    """Requests that arrive while the engine is busy coalesce into ONE
+    `search_many` dispatch (cross-request micro-batching): N single-query
+    clients cost ~2 engine dispatches, not N.  Deterministic: the first
+    dispatch is gated on an event so the test controls the window."""
+    base, service, engine, seqs = server
+    calls = []
+    release = threading.Event()
+    real = engine.search_many
+
+    def gated(queries, titles=None, batch=True):
+        calls.append(len(queries))
+        if len(calls) == 1:
+            assert release.wait(timeout=60)
+        return real(queries, titles, batch)
+
+    engine.search_many = gated
+    try:
+        results = {}
+
+        def hit(qi):
+            out = service.search({"query": _to_str(seqs[qi])})
+            results[qi] = out["results"][0]["hits"][0]["title"]
+
+        threads = [threading.Thread(target=hit, args=(7,))]
+        threads[0].start()
+        # wait until the dispatcher is inside the gated first batch
+        for _ in range(600):
+            if calls:
+                break
+            time.sleep(0.01)
+        assert calls, "dispatcher never picked up the first request"
+        # three more clients queue while the engine is "busy"
+        for qi in (13, 25, 31):
+            threads.append(threading.Thread(target=hit, args=(qi,)))
+            threads[-1].start()
+        for _ in range(600):
+            with service._cv:
+                if len(service._queue) == 3:
+                    break
+            time.sleep(0.01)
+        release.set()
+        for t in threads:
+            t.join(timeout=120)
+        assert results == {qi: f"srv{qi}" for qi in (7, 13, 25, 31)}
+        # 4 clients -> exactly 2 dispatches: the gated single, then the
+        # coalesced batch of 3
+        assert calls == [1, 3], calls
+    finally:
+        engine.search_many = real
+        release.set()
+
+
+def test_service_close_rejects_new_requests(server):
+    base, service, engine, seqs = server
+    svc = type(service)(service.db, engine)
+    out = svc.search({"query": _to_str(seqs[2])})
+    assert out["results"][0]["hits"][0]["title"] == "srv2"
+    svc.close()
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        svc.search({"query": _to_str(seqs[2])})
 
 
 def test_error_paths(server):
