@@ -23,6 +23,19 @@ from oswald_tpu.io import pack_sequences
 from oswald_tpu.engine import SearchEngine, SearchConfig
 
 
+def _retry(f, tries=3):
+    """Retry transient remote-compile-service failures (HTTP 500s /
+    dropped responses under load) before concluding a config is broken."""
+    for t in range(tries):
+        try:
+            return f()
+        except Exception as e:        # noqa: BLE001 - transient infra
+            if t == tries - 1:
+                raise
+            print(f"retry after {type(e).__name__}: {e}", file=sys.stderr)
+            time.sleep(5)
+
+
 def make_synthetic_db(n_seqs: int, mean_len: int, rng):
     """Length distribution roughly like a protein DB: lognormal, clipped."""
     lengths = np.clip(
@@ -96,19 +109,8 @@ def main():
         eng = SearchEngine(db, cfg)
     setup_s = time.perf_counter() - t0
 
-    # warm-up: compile every bin's program (retry once — the remote
-    # compile service throws transient errors under load)
-    def _retry(f, tries=3):
-        for t in range(tries):
-            try:
-                return f()
-            except Exception as e:        # noqa: BLE001 - transient infra
-                if t == tries - 1:
-                    raise
-                print(f"warmup retry after {type(e).__name__}: {e}",
-                      file=sys.stderr)
-                time.sleep(5)
-
+    # warm-up: compile every bin's program (retried — the remote compile
+    # service throws transient errors under load)
     _retry(lambda: eng.search(query))
 
     times = []
@@ -171,7 +173,7 @@ def run_suite(db, eng, rng, on_tpu, file):
     # config 3: query-length sweep (titin-like 5478 included on TPU)
     for qlen in ([64, 512, 2048, 5478] if on_tpu else [64]):
         q = rng.integers(0, 23, size=qlen).astype(np.int8)
-        eng.search(q)                      # compile
+        _retry(lambda: eng.search(q))      # compile
         t0 = time.perf_counter()
         eng.search(q)
         dt = time.perf_counter() - t0
@@ -179,17 +181,49 @@ def run_suite(db, eng, rng, on_tpu, file):
                           "gcups": round(qlen * db.n_residues / dt / 1e9, 2),
                           "search_s": round(dt, 4)}), file=file)
 
-    # config 4: 20-query batch
+    # pipelined single-query stream at qlen 64: the latency-hiding mode
+    # for sequential short-query clients (dispatch i+1 before reading i;
+    # engine.search_stream) vs the same queries searched serially
+    nq64 = 8 if on_tpu else 2
+    qs64 = [rng.integers(0, 23, size=64).astype(np.int8)
+            for _ in range(nq64)]
+    _retry(lambda: eng.search_stream(qs64))    # compile
+    t0 = time.perf_counter()
+    eng.search_stream(qs64)
+    dt_p = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for q in qs64:
+        eng.search(q)
+    dt_s = time.perf_counter() - t0
+    print(json.dumps({
+        "config": "qlen64_pipelined_stream", "n_queries": nq64,
+        "gcups": round(nq64 * 64 * db.n_residues / dt_p / 1e9, 2),
+        "serial_gcups": round(nq64 * 64 * db.n_residues / dt_s / 1e9, 2),
+        "search_s": round(dt_p, 4)}), file=file)
+
+    # config 4: 20-query mixed-length batch, packed (seg_map) vs unpacked
+    # (the cross-length packing win, VERDICT r2 items 3-4)
     nq = 20 if on_tpu else 3
     queries = [rng.integers(0, 23, size=int(l)).astype(np.int8)
                for l in rng.integers(100, 400, size=nq)]
-    eng.search_many(queries)               # compile
+    _retry(lambda: eng.search_many(queries))   # compile
     t0 = time.perf_counter()
     eng.search_many(queries)
     dt = time.perf_counter() - t0
     Q = sum(len(q) for q in queries)
+    pack_rows = eng.config.batch_query_pack_rows
+    try:
+        eng.config.batch_query_pack_rows = 0     # disable packing
+        _retry(lambda: eng.search_many(queries))  # compile unpacked
+        t0 = time.perf_counter()
+        eng.search_many(queries)
+        dt_u = time.perf_counter() - t0
+    finally:
+        eng.config.batch_query_pack_rows = pack_rows
     print(json.dumps({"config": "multi_query", "n_queries": nq,
                       "gcups": round(Q * db.n_residues / dt / 1e9, 2),
+                      "unpacked_gcups": round(Q * db.n_residues / dt_u / 1e9,
+                                              2),
                       "search_s": round(dt, 4)}), file=file)
 
     # release the headline engine's HBM (2.1 GiB of profiles at the
@@ -203,7 +237,7 @@ def run_suite(db, eng, rng, on_tpu, file):
     # (the 24x-less-HBM middle mode)
     st = SearchEngine(db, SearchConfig(profile_mode="stream"))
     q = rng.integers(0, 23, size=512).astype(np.int8)
-    st.search(q)                           # compile
+    _retry(lambda: st.search(q))           # compile
     t0 = time.perf_counter()
     st.search(q)
     dt = time.perf_counter() - t0
@@ -219,14 +253,47 @@ def run_suite(db, eng, rng, on_tpu, file):
     # (FPGAsearch.c:180-237)
     hs = SearchEngine(db, SearchConfig(profile_mode="host_stream"))
     q = rng.integers(0, 23, size=512).astype(np.int8)
-    hs.search(q)                           # compile
+    _retry(lambda: hs.search(q))           # compile
     t0 = time.perf_counter()
     hs.search(q)
     dt = time.perf_counter() - t0
+    # the double-buffering proof: the same sweep with overlap disabled
+    # (serial transfer -> compute -> readback per slice); overlap_ratio =
+    # serial/overlapped time, >1 means the transfer hides under compute
+    hs.config.host_stream_overlap = False
+    _retry(lambda: hs.search(q))
+    t0 = time.perf_counter()
+    hs.search(q)
+    dt_serial = time.perf_counter() - t0
+    hs.config.host_stream_overlap = True
     print(json.dumps({"config": "host_stream", "qlen": 512,
                       "gcups": round(512 * db.n_residues / dt / 1e9, 2),
-                      "search_s": round(dt, 4)}), file=file)
+                      "search_s": round(dt, 4),
+                      "serial_s": round(dt_serial, 4),
+                      "overlap_ratio": round(dt_serial / dt, 3)}),
+          file=file)
     del hs
+    gc.collect()
+
+    # distributed engine on a mesh of 1: setup must not be compile-bound
+    # (the dist engine builds the same device-major flat profile array
+    # with one compiled sharded gather — SCALING.md's dist-setup claim is
+    # re-measured here every round) and search overhead vs the single-chip
+    # engine is the shard_map + collective cost at N=1
+    from oswald_tpu.dist import DistributedSearchEngine, make_device_mesh
+    t0 = time.perf_counter()
+    de = DistributedSearchEngine(db, SearchConfig(),
+                                 mesh=make_device_mesh(1))
+    d_setup = time.perf_counter() - t0
+    q = rng.integers(0, 23, size=512).astype(np.int8)
+    _retry(lambda: de.search(q))           # compile
+    t0 = time.perf_counter()
+    de.search(q)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"config": "dist_mesh1", "setup_s": round(d_setup, 2),
+                      "gcups": round(512 * db.n_residues / dt / 1e9, 2),
+                      "search_s": round(dt, 4)}), file=file)
+    del de
     gc.collect()
 
     # matrices: engine setup (profile gather) + one search per matrix
@@ -235,7 +302,7 @@ def run_suite(db, eng, rng, on_tpu, file):
         e2 = SearchEngine(db, SearchConfig(matrix=m))
         setup = time.perf_counter() - t0
         q = rng.integers(0, 23, size=256).astype(np.int8)
-        e2.search(q)
+        _retry(lambda: e2.search(q))
         t0 = time.perf_counter()
         e2.search(q)
         dt = time.perf_counter() - t0

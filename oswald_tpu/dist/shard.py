@@ -629,7 +629,10 @@ class DistributedSearchEngine:
     def _pad_query(self, query):
         return pad_query(query, self.config)
 
-    def search(self, query, query_title: str = "query") -> SearchResult:
+    def _dispatch(self, query, query_title: str):
+        """Enqueue one query's per-bin shard_map programs without blocking
+        (see SearchEngine._dispatch); host_stream completes synchronously
+        (its sweep is its own internal pipeline)."""
         t0 = time.perf_counter()
         q_pad = jnp.asarray(self._pad_query(query))
         k = min(self.config.top, max(self.db.n_seqs, 1))
@@ -637,23 +640,31 @@ class DistributedSearchEngine:
             cs, ci, msum, msumsq, mslnl = self._host_stream_candidates(
                 q_pad[None], k)
             scores, ids = self._merge_candidates(cs[0], ci[0], k)
-            msum, msumsq, mslnl = (float(msum[0]), float(msumsq[0]),
-                                   float(mslnl[0]))
+            done = (scores, ids, float(msum[0]), float(msumsq[0]),
+                    float(mslnl[0]))
+            return (query, query_title, t0, k, None, None, done)
+        cands = []
+        for L in self.db.bin_lengths:
+            data = (self.prof_flat, self.tail_flat) if \
+                self.mode == "precompute" else \
+                self.seq_stacks[L]
+            cands.append(self._bin_fn(L, k)(        # stays on device:
+                q_pad, self.gaps, self.submat_dev,  # all bins dispatch
+                data, self.ids[L], self.lnl_table)) # before any block
+        # one device-side concat of every bin's packed [2, kk+2]
+        # candidates -> ONE readback for the whole search (in _finish)
+        arr = _concat_cands(*cands) if cands else None
+        widths = [int(c.shape[-1]) for c in cands]
+        return (query, query_title, t0, k, arr, widths, None)
+
+    def _finish(self, pend) -> SearchResult:
+        query, query_title, t0, k, arr, widths, done = pend
+        if done is not None:
+            scores, ids, msum, msumsq, mslnl = done
         else:
-            cands = []
-            for L in self.db.bin_lengths:
-                data = (self.prof_flat, self.tail_flat) if \
-                    self.mode == "precompute" else \
-                    self.seq_stacks[L]
-                cands.append(self._bin_fn(L, k)(        # stays on device:
-                    q_pad, self.gaps, self.submat_dev,  # all bins dispatch
-                    data, self.ids[L], self.lnl_table)) # before any block
-            if cands:
-                # one device-side concat of every bin's packed [2, kk+2]
-                # candidates, then ONE readback for the whole search
-                arr = np.asarray(_concat_cands(*cands))
+            if arr is not None:
                 scores, ids, msum, msumsq, mslnl = _split_packed(
-                    arr, [int(c.shape[-1]) for c in cands])
+                    np.asarray(arr), widths)
             else:
                 scores = ids = np.zeros(0, np.int32)
                 msum = msumsq = mslnl = 0.0
@@ -671,6 +682,25 @@ class DistributedSearchEngine:
                             scores=scores, seq_ids=ids, titles=titles,
                             elapsed=elapsed, evalues=ev, bit_scores=bits,
                             stats=st)
+
+    def search(self, query, query_title: str = "query") -> SearchResult:
+        return self._finish(self._dispatch(query, query_title))
+
+    def search_stream(self, queries, titles=None):
+        """Pipelined single-query stream: dispatch query i+1's shard_map
+        programs before blocking on query i's candidate readback (see
+        SearchEngine.search_stream — identical results to sequential
+        search, the readback latency hidden under the next compute)."""
+        titles = titles or [f"query{i}" for i in range(len(queries))]
+        results, pending = [], None
+        for q, t in zip(queries, titles):
+            nxt = self._dispatch(q, t)
+            if pending is not None:
+                results.append(self._finish(pending))
+            pending = nxt
+        if pending is not None:
+            results.append(self._finish(pending))
+        return results
 
     def _bin_batch_fn(self, L: int, k: int):
         """Compiled per-bin shard_map for a query batch: (q_batch, gaps,
@@ -802,7 +832,9 @@ class DistributedSearchEngine:
         SearchEngine.search_many)."""
         titles = titles or [f"query{i}" for i in range(len(queries))]
         if not batch or len(queries) <= 1:
-            return [self.search(q, t) for q, t in zip(queries, titles)]
+            # unbatched = pipelined single-query stream (search_stream):
+            # identical results, readback hidden under the next compute
+            return self.search_stream(queries, titles)
 
         t0 = time.perf_counter()
         results = [None] * len(queries)

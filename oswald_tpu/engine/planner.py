@@ -17,6 +17,16 @@ that fits:
                HBM cost is two slices + scan state, independent of
                database size — this is the mode for databases larger than
                device memory.
+
+The ladder is strictly ordered by DATABASE size only — query length does
+not move the choice.  Measured on v5e (300k-seq db, scripts/qlen_lab.py,
+round 3): precompute beats stream at EVERY query length, including the
+shortest — qlen 64: 114 vs 23 GCUPS; 512: 288 vs 128; 1024: 323 vs 192 —
+because stream's per-chunk profile gather costs an extra HBM write+read
+of the full 24x profile regardless of m, while the kernel reads the
+precomputed profile once either way.  There is no crossover to plan for;
+short-query throughput is recovered by pipelining (engine.search_stream)
+and packing (sw_chunk q_segs), not residency choice.
 """
 
 import dataclasses

@@ -1059,7 +1059,10 @@ class SearchEngine:
             outs.append(s.reshape(-1))
         return jnp.concatenate(outs) if outs else jnp.zeros((0,), jnp.int32)
 
-    def search(self, query, query_title: str = "query") -> SearchResult:
+    def _dispatch(self, query, query_title: str):
+        """Enqueue one query's full search on the device WITHOUT blocking;
+        returns an opaque pending tuple for _finish.  host_stream mode has
+        its own internal transfer pipeline and completes synchronously."""
         t0 = time.perf_counter()
         k = min(self.config.top, self.db.n_seqs)
         if self.mode == "host_stream":
@@ -1068,22 +1071,31 @@ class SearchEngine:
             top_scores, top_slots = _host_topk(scores, self.ids_flat, k)
             msum, msumsq, mslnl = _host_moments(
                 scores, self.ids_flat >= 0, self.lnl_flat)
+            done = (top_scores, top_slots, msum, msumsq, mslnl)
+            return (query, query_title, t0, None, done)
+        q_pad_np = self._pad_query(query)
+        fused = self.config.fused_dispatch
+        if fused is None:           # auto: see SearchConfig.fused_dispatch
+            fused = (self.mode == "precompute" and
+                     not self._interpret and q_pad_np.shape[0] <= 128)
+        if fused:
+            q_pad = jnp.asarray(q_pad_np)
+            stacks = (self.prof_flat, self.tail_flat) if \
+                self.mode == "precompute" else self.seq_stacks
+            packed = self._search_fn(k)(
+                q_pad, self.gaps, self.submat_dev, stacks, self.valid,
+                self.lnl)
         else:
-            q_pad_np = self._pad_query(query)
-            fused = self.config.fused_dispatch
-            if fused is None:       # auto: see SearchConfig.fused_dispatch
-                fused = (self.mode == "precompute" and
-                         not self._interpret and q_pad_np.shape[0] <= 128)
-            if fused:
-                q_pad = jnp.asarray(q_pad_np)
-                stacks = (self.prof_flat, self.tail_flat) if \
-                    self.mode == "precompute" else self.seq_stacks
-                packed = self._search_fn(k)(
-                    q_pad, self.gaps, self.submat_dev, stacks, self.valid,
-                    self.lnl)
-            else:
-                scores = self.score_all(query)
-                packed = _topk(scores, self.valid, self.lnl, k)
+            scores = self.score_all(query)
+            packed = _topk(scores, self.valid, self.lnl, k)
+        return (query, query_title, t0, packed, None)
+
+    def _finish(self, pend) -> SearchResult:
+        """Block on a _dispatch's packed readback and build the result."""
+        query, query_title, t0, packed, done = pend
+        if done is not None:
+            top_scores, top_slots, msum, msumsq, mslnl = done
+        else:
             packed = np.asarray(packed)      # the ONE blocking readback
             top_scores, top_slots, msum, msumsq, mslnl = _unpack_topk(packed)
         top_scores = np.asarray(top_scores)
@@ -1101,6 +1113,34 @@ class SearchEngine:
                             scores=top_scores, seq_ids=top_ids,
                             titles=titles, elapsed=elapsed,
                             evalues=ev, bit_scores=bits, stats=st)
+
+    def search(self, query, query_title: str = "query") -> SearchResult:
+        return self._finish(self._dispatch(query, query_title))
+
+    def search_stream(self, queries, titles=None):
+        """Pipelined single-query stream: query i+1's programs dispatch
+        BEFORE query i's (tiny) top-k readback blocks, so the device->host
+        round trip overlaps the next query's compute.  This is the
+        latency-hiding mode for sequential clients: each query still runs
+        alone (no shared batch program), but the one blocking readback per
+        query — ~31 ms through this rig's remote-TPU tunnel, the dominant
+        cost of short-query searches — is paid under compute instead of
+        serially.  Measured v5e (300k-seq db): 8 distinct qlen-64 queries
+        120 -> 210 GCUPS (scripts/qlen_lab.py).  The reference's analog is
+        its async per-query kernel queue inside one chunk round
+        (/root/reference/host/src/FPGAsearch.c:204-223: all queries
+        enqueued, one clWaitForEvents).  Results are identical to
+        [search(q) for q in queries]."""
+        titles = titles or [f"query{i}" for i in range(len(queries))]
+        results, pending = [], None
+        for q, t in zip(queries, titles):
+            nxt = self._dispatch(q, t)
+            if pending is not None:
+                results.append(self._finish(pending))
+            pending = nxt
+        if pending is not None:
+            results.append(self._finish(pending))
+        return results
 
     def warmup(self, max_query_len: int = 512, batch: bool = True):
         """Precompile every (bin, padded-query-shape) program for queries up
@@ -1126,7 +1166,10 @@ class SearchEngine:
         round (FPGAsearch.c:204-219)."""
         titles = titles or [f"query{i}" for i in range(len(queries))]
         if not batch or len(queries) <= 1:
-            return [self.search(q, t) for q, t in zip(queries, titles)]
+            # unbatched = pipelined single-query stream: identical results
+            # to a sequential loop, with each readback hidden under the
+            # next query's compute (see search_stream)
+            return self.search_stream(queries, titles)
 
         t0 = time.perf_counter()
         results = [None] * len(queries)

@@ -73,12 +73,25 @@ def build_profile(db_chunk, submat):
     The (W, 8) dims are flattened so the int8 arrays keep a (>=32, 128)
     trailing tile — Pallas int8 VMEM wants (32, 128) tiles, and an [..., 8,
     128] int8 block would waste 4x VMEM.
+
+    Lowering: the 24-entry table lookup is a one-hot int8 matmul
+    (exact — each output sums exactly one submat entry), NOT a gather:
+    XLA's gather lowering for this shape runs at ~10 GB/s of profile
+    output on v5e while the one-hot einsum runs at ~48 GB/s (measured,
+    scripts/gather_lab.py) — 4.9x, worth ~16 ms per chunk in stream mode
+    where this runs inside the scan.  The reference hits the same problem
+    on SSE and solves it the same way in spirit: a shuffle-based parallel
+    table lookup instead of scalar loads
+    (/root/reference/host/src/FPGAsearch.c:143-177).
     """
     G, W = db_chunk.shape[:2]
     sm = jnp.asarray(submat, jnp.int8)
     flat = db_chunk.reshape(G, W * SUBLANES, LANES)
-    prof = sm[:, flat]                        # [24, G, POS, 128] gather
-    return prof.transpose(1, 0, 2, 3)
+    oh = (flat[..., None] == jnp.arange(24, dtype=jnp.int8)
+          ).astype(jnp.int8)                  # [G, POS, 128, 24]
+    prof = jnp.einsum("gplk,ck->gcpl", oh, sm,
+                      preferred_element_type=jnp.int32)
+    return prof.astype(jnp.int8)
 
 
 def noadj_ok(submat, extend_gap: int) -> bool:

@@ -123,13 +123,25 @@ def main():
                              eng.submat_dev, stacks, eng.valid, eng.lnl))
                 for q in qs]
 
+    def threaded():
+        # dispatch all, then drain with CONCURRENT readbacks: does the
+        # tunnel multiplex transfers, or are RTTs serial either way?
+        from concurrent.futures import ThreadPoolExecutor
+        outs = [f(jnp.asarray(eng._pad_query(q)), eng.gaps, eng.submat_dev,
+                  stacks, eng.valid, eng.lnl) for q in qs]
+        with ThreadPoolExecutor(8) as ex:
+            return list(ex.map(np.asarray, outs))
+
     pipelined()
     dt_p = t_min(pipelined)
     dt_s = t_min(serial)
+    dt_t = t_min(threaded)
     print(json.dumps({
         "pipelined_8x_qlen64_gcups": round(8 * 64 * D / dt_p / 1e9, 1),
         "serial_8x_qlen64_gcups": round(8 * 64 * D / dt_s / 1e9, 1),
-        "pipelined_s": round(dt_p, 4), "serial_s": round(dt_s, 4)}))
+        "threaded_drain_gcups": round(8 * 64 * D / dt_t / 1e9, 1),
+        "pipelined_s": round(dt_p, 4), "serial_s": round(dt_s, 4),
+        "threaded_s": round(dt_t, 4)}))
 
 
 if __name__ == "__main__":

@@ -278,3 +278,31 @@ def test_noadj_exact_on_retired_gate_configs(rng):
             outs.append(int(sc[0, 0, 0]))
         want = sw_score_numpy(q, s, sm, 2, 1)
         assert outs[0] == outs[1] == want
+
+
+def test_search_stream_matches_search(rng):
+    """Pipelined single-query stream (dispatch i+1 before reading i) is a
+    pure scheduling change: results identical to sequential search on
+    every engine/mode, including the significance columns."""
+    from oswald_tpu.dist import DistributedSearchEngine
+    db, seqs, lengths = _make_db(rng, 800, 150)
+    qs = [random_protein(rng, l) for l in (40, 64, 200, 33, 64)]
+    eng = SearchEngine(db, SearchConfig(top=6))
+    singles = [eng.search(q) for q in qs]
+    for other in (eng.search_stream(qs),
+                  DistributedSearchEngine(
+                      db, SearchConfig(top=6)).search_stream(qs),
+                  SearchEngine(db, SearchConfig(
+                      top=6, profile_mode="host_stream",
+                      host_stream_slice_mb=1)).search_stream(qs)):
+        for a, b in zip(singles, other):
+            np.testing.assert_array_equal(a.scores, b.scores)
+            np.testing.assert_array_equal(np.asarray(a.seq_ids),
+                                          np.asarray(b.seq_ids))
+            assert a.titles == b.titles
+            if a.evalues is not None:
+                # rtol: host_stream fits from host-side float64 moments,
+                # the resident modes from the device's bitcast-float32
+                # moment columns — a ~1e-5 cross-mode rounding difference
+                # unrelated to pipelining
+                np.testing.assert_allclose(a.evalues, b.evalues, rtol=1e-4)
