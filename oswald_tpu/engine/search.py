@@ -750,7 +750,11 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True):
             if m_pad not in b_pads:
                 b_pads.add(m_pad)
                 q = np.full(min(m, max_query_len), DUMMY, np.int8)
-                engine.search_many([q, q])
+                # 3 queries: mixed_pack_plan bins them [2, 1], compiling
+                # BOTH the 2-query and the leftover 1-query pack programs
+                # (a coalesced server burst of any odd size hits the
+                # 1-pack; warmup with only [q, q] left it cold)
+                engine.search_many([q, q, q])
             if m_pad >= max_query_len:
                 break
             m = m_pad + 1

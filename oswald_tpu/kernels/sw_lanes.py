@@ -392,6 +392,10 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # default scoped-VMEM limit is 16 MiB; the (GB, 24, POS, 128)
+            # profile block double-buffers, so GB > 2 needs the real VMEM
+            # budget (128 MiB on v5e; leave headroom for scratch + blocks)
+            vmem_limit_bytes=100 << 20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=10 * cells, bytes_accessed=prof_chunk.size, transcendentals=0),
