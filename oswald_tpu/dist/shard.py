@@ -45,7 +45,8 @@ from oswald_tpu.engine.search import (
     _search_bin_stream_batch_impl, _search_bin_flat_pack_impl,
     _search_bin_stream_pack_impl, _search_bin_hostslice_impl,
     _split_packed, _result_stats, _db_len_stats, pad_query,
-    mixed_pack_plan, MIXED_PACK_SEGS, resolve_exact_acc_dtype,
+    mixed_pack_plan, MIXED_PACK_SEGS, resolve_exact_acc_dtype, nb_of,
+    nb_or_none,
 )
 from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics
@@ -390,21 +391,21 @@ class DistributedSearchEngine:
                              (Gs, SUBLANES, LANES))
         return seq_dev, ids_dev
 
-    def _hostslice_fn(self, L: int, Gs: int, k: int):
+    def _hostslice_fn(self, L: int, Gs: int, k: int, skip: bool):
         """Compiled shard_map for one streamed slice shape: (q_batch, gaps,
         submat, seq_slice, ids) -> (scores[Q, kk], ids[Q, kk]) replicated
         slice-local top-k candidates."""
-        key = ("hs", L, Gs, k)
+        key = ("hs", L, Gs, k, skip)
         if key in self._bin_fns:
             return self._bin_fns[key]
         u_rows, interpret = self.config.u_rows, self._interpret
         gb, acc, cu, na = (self.config.group_block, self._acc,
                            self.config.col_unroll, self._noadj)
 
-        def local_fn(q_batch, gaps, submat, seq_slice, ids, lnl_table):
+        def inner(q_batch, nbs, gaps, submat, seq_slice, ids, lnl_table):
             scores = _search_bin_hostslice_impl(
                 q_batch, gaps, submat, seq_slice, u_rows, interpret, gb,
-                acc, cu, na)
+                acc, cu, na, nbs=nbs)
             Q = q_batch.shape[0]
             flat = scores.reshape(Q, -1)
             idsf = ids.reshape(-1)
@@ -423,15 +424,21 @@ class DistributedSearchEngine:
                 [packed, _psum_moments_col(flat, idsf, lnl_table, 3)],
                 axis=-1)
 
+        if skip:
+            local_fn = inner
+            specs = (P(), P(), P(), P(), P(AXIS), P(AXIS), P())
+        else:
+            local_fn = lambda q_batch, gaps, submat, seq_slice, ids, \
+                lnl_table: inner(q_batch, None, gaps, submat, seq_slice,
+                                 ids, lnl_table)
+            specs = (P(), P(), P(), P(AXIS), P(AXIS), P())
         fn = jax.jit(jax.shard_map(
-            local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), P(AXIS), P(AXIS), P()),
-            out_specs=P(),
+            local_fn, mesh=self.mesh, in_specs=specs, out_specs=P(),
             check_vma=False))
         self._bin_fns[key] = fn
         return fn
 
-    def _host_stream_candidates(self, qb, k: int):
+    def _host_stream_candidates(self, qb, k: int, nbs=None):
         """[Q, ncand] (scores, ids) candidate arrays from one streaming
         sweep of the database, double-buffered: slice i+1's sharded
         transfer is enqueued before slice i's compute dispatch, and the
@@ -440,6 +447,8 @@ class DistributedSearchEngine:
         point, regardless of database size (the reference's bounded
         per-chunk clEnqueueWriteBuffer round, FPGAsearch.c:180-237)."""
         Q = qb.shape[0]
+        if nbs is not None:
+            nbs = jnp.asarray(nbs, jnp.int32)
         cand_s, cand_i = [], []
         msum = msumsq = mslnl = np.zeros(Q, np.float64)
 
@@ -461,8 +470,9 @@ class DistributedSearchEngine:
             for L, lo, Gs in self._hs_slices:
                 dev = self._hs_transfer(L, lo, Gs)
                 jax.block_until_ready(dev)
-                _drain(self._hostslice_fn(L, Gs, k)(
-                    qb, self.gaps, self.submat_dev, dev[0], dev[1],
+                args = (qb,) + (() if nbs is None else (nbs,))
+                _drain(self._hostslice_fn(L, Gs, k, nbs is not None)(
+                    *args, self.gaps, self.submat_dev, dev[0], dev[1],
                     self.lnl_table))
         else:
             pending = None
@@ -472,8 +482,9 @@ class DistributedSearchEngine:
                 dev = nxt
                 nxt = self._hs_transfer(*self._hs_slices[i + 1]) \
                     if i + 1 < len(self._hs_slices) else None
-                packed = self._hostslice_fn(L, Gs, k)(
-                    qb, self.gaps, self.submat_dev, dev[0], dev[1],
+                args = (qb,) + (() if nbs is None else (nbs,))
+                packed = self._hostslice_fn(L, Gs, k, nbs is not None)(
+                    *args, self.gaps, self.submat_dev, dev[0], dev[1],
                     self.lnl_table)
                 if pending is not None:
                     # blocking readback of slice i-1 (ONE packed transfer):
@@ -498,10 +509,11 @@ class DistributedSearchEngine:
         order = np.lexsort((ids, -scores))[:k]
         return scores[order], ids[order]
 
-    def _bin_fn(self, L: int, k: int):
-        """Compiled per-bin shard_map: (q, gaps, data, ids) -> (scores[k],
-        ids[k]) replicated."""
-        key = (L, k)
+    def _bin_fn(self, L: int, k: int, skip: bool):
+        """Compiled per-bin shard_map: (q[, nb], gaps, data, ids) ->
+        packed replicated candidates.  skip compiles the dummy-row-block
+        variant (see sw_chunk n_blocks)."""
+        key = (L, k, skip)
         if key in self._bin_fns:
             return self._bin_fns[key]
         u_rows, interpret = self.config.u_rows, self._interpret
@@ -510,18 +522,18 @@ class DistributedSearchEngine:
         precompute = self.mode == "precompute"
         geom = self.bin_geom.get(L)
 
-        def local_fn(q_pad, gaps, submat, data, ids, lnl_table):
+        def inner(q_pad, nb, gaps, submat, data, ids, lnl_table):
             if precompute:
                 prof_flat, tail_flat = data
                 off, C, G_loc, toff = geom
                 scores = _search_bin_flat_impl(
                     q_pad, gaps, prof_flat, tail_flat, off, C, G_loc,
-                    toff, u_rows, interpret, gb, acc, cu, na)
+                    toff, u_rows, interpret, gb, acc, cu, na, nb=nb)
             else:
                 main, tail = data
                 scores = _search_bin_stream_impl(q_pad, gaps, submat, main,
                                                  u_rows, interpret, gb, acc,
-                                                 tail, cu, na)
+                                                 tail, cu, na, nb=nb)
             flat = scores.reshape(-1)
             idsf = ids.reshape(-1)
             masked = jnp.where(idsf >= 0, flat, -1)
@@ -548,20 +560,25 @@ class DistributedSearchEngine:
         # tail [G, ...] on axis 0)
         data_spec = (P(AXIS), P(AXIS)) if precompute else \
             (P(None, AXIS), P(AXIS))
+        if skip:
+            local_fn = inner
+            specs = (P(), P(), P(), P(), data_spec, P(AXIS), P())
+        else:
+            local_fn = lambda q_pad, gaps, submat, data, ids, lnl_table: \
+                inner(q_pad, None, gaps, submat, data, ids, lnl_table)
+            specs = (P(), P(), P(), data_spec, P(AXIS), P())
         fn = jax.jit(jax.shard_map(
-            local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), data_spec, P(AXIS), P()),
-            out_specs=P(),
+            local_fn, mesh=self.mesh, in_specs=specs, out_specs=P(),
             check_vma=False))
         self._bin_fns[key] = fn
         return fn
 
-    def _bin_scores_fn(self, L: int):
+    def _bin_scores_fn(self, L: int, skip: bool):
         """Compiled per-bin shard_map returning the FULL slot-score vector
         (all_gathered over the mesh, replicated) — the diagnostic analog
         of SearchEngine.score_all.  O(G·1024) readback instead of O(k),
         so it only runs when explicitly requested (CLI -H histogram)."""
-        key = ("all", L)
+        key = ("all", L, skip)
         if key in self._bin_fns:
             return self._bin_fns[key]
         u_rows, interpret = self.config.u_rows, self._interpret
@@ -570,18 +587,18 @@ class DistributedSearchEngine:
         precompute = self.mode == "precompute"
         geom = self.bin_geom.get(L)
 
-        def local_fn(q_pad, gaps, submat, data):
+        def inner(q_pad, nb, gaps, submat, data):
             if precompute:
                 prof_flat, tail_flat = data
                 off, C, G_loc, toff = geom
                 scores = _search_bin_flat_impl(
                     q_pad, gaps, prof_flat, tail_flat, off, C, G_loc,
-                    toff, u_rows, interpret, gb, acc, cu, na)
+                    toff, u_rows, interpret, gb, acc, cu, na, nb=nb)
             else:
                 main, tail = data
                 scores = _search_bin_stream_impl(q_pad, gaps, submat, main,
                                                  u_rows, interpret, gb, acc,
-                                                 tail, cu, na)
+                                                 tail, cu, na, nb=nb)
             # tiled gather in mesh-axis order == the global slot order of
             # self.ids[L] (its group axis is sharded contiguously per
             # device), so the result aligns with ids_flat
@@ -589,10 +606,15 @@ class DistributedSearchEngine:
 
         data_spec = (P(AXIS), P(AXIS)) if precompute else \
             (P(None, AXIS), P(AXIS))
+        if skip:
+            local_fn = inner
+            specs = (P(), P(), P(), P(), data_spec)
+        else:
+            local_fn = lambda q_pad, gaps, submat, data: \
+                inner(q_pad, None, gaps, submat, data)
+            specs = (P(), P(), P(), data_spec)
         fn = jax.jit(jax.shard_map(
-            local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), data_spec),
-            out_specs=P(),
+            local_fn, mesh=self.mesh, in_specs=specs, out_specs=P(),
             check_vma=False))
         self._bin_fns[key] = fn
         return fn
@@ -606,12 +628,15 @@ class DistributedSearchEngine:
                              "mode (scores stream through the mesh in "
                              "slices)")
         q_pad = jnp.asarray(self._pad_query(query))
+        nb = nb_or_none(np.asarray(query).size, q_pad.shape[0],
+                        self.config.u_rows)
+        q_args = (q_pad,) + (() if nb is None else (nb,))
         outs = []
         for L in self.db.bin_lengths:
             data = (self.prof_flat, self.tail_flat) if \
                 self.mode == "precompute" else self.seq_stacks[L]
-            outs.append(self._bin_scores_fn(L)(
-                q_pad, self.gaps, self.submat_dev, data))
+            outs.append(self._bin_scores_fn(L, nb is not None)(
+                *q_args, self.gaps, self.submat_dev, data))
         return np.concatenate([np.asarray(o) for o in outs]) if outs \
             else np.zeros(0, np.int32)
 
@@ -635,10 +660,12 @@ class DistributedSearchEngine:
         (its sweep is its own internal pipeline)."""
         t0 = time.perf_counter()
         q_pad = jnp.asarray(self._pad_query(query))
+        nb = nb_or_none(np.asarray(query).size, q_pad.shape[0],
+                        self.config.u_rows)
         k = min(self.config.top, max(self.db.n_seqs, 1))
         if self.mode == "host_stream":
             cs, ci, msum, msumsq, mslnl = self._host_stream_candidates(
-                q_pad[None], k)
+                q_pad[None], k, None if nb is None else nb[None])
             scores, ids = self._merge_candidates(cs[0], ci[0], k)
             done = (scores, ids, float(msum[0]), float(msumsq[0]),
                     float(mslnl[0]))
@@ -648,9 +675,10 @@ class DistributedSearchEngine:
             data = (self.prof_flat, self.tail_flat) if \
                 self.mode == "precompute" else \
                 self.seq_stacks[L]
-            cands.append(self._bin_fn(L, k)(        # stays on device:
-                q_pad, self.gaps, self.submat_dev,  # all bins dispatch
-                data, self.ids[L], self.lnl_table)) # before any block
+            q_args = (q_pad,) + (() if nb is None else (nb,))
+            cands.append(self._bin_fn(L, k, nb is not None)(
+                *q_args, self.gaps, self.submat_dev,  # all bins dispatch
+                data, self.ids[L], self.lnl_table))  # before any block
         # one device-side concat of every bin's packed [2, kk+2]
         # candidates -> ONE readback for the whole search (in _finish)
         arr = _concat_cands(*cands) if cands else None
@@ -702,10 +730,10 @@ class DistributedSearchEngine:
             results.append(self._finish(pending))
         return results
 
-    def _bin_batch_fn(self, L: int, k: int):
+    def _bin_batch_fn(self, L: int, k: int, skip: bool):
         """Compiled per-bin shard_map for a query batch: (q_batch, gaps,
         submat, data, ids) -> (scores[Q, kk'], ids[Q, kk']) replicated."""
-        key = ("batch", L, k)
+        key = ("batch", L, k, skip)
         if key in self._bin_fns:
             return self._bin_fns[key]
         u_rows, interpret = self.config.u_rows, self._interpret
@@ -714,18 +742,18 @@ class DistributedSearchEngine:
         precompute = self.mode == "precompute"
         geom = self.bin_geom.get(L)
 
-        def local_fn(q_batch, gaps, submat, data, ids, lnl_table):
+        def inner(q_batch, nbs, gaps, submat, data, ids, lnl_table):
             if precompute:
                 prof_flat, tail_flat = data
                 off, C, G_loc, toff = geom
                 scores = _search_bin_flat_batch_impl(
                     q_batch, gaps, prof_flat, tail_flat, off, C, G_loc,
-                    toff, u_rows, interpret, gb, acc, cu, na)
+                    toff, u_rows, interpret, gb, acc, cu, na, nbs=nbs)
             else:
                 main, tail = data
                 scores = _search_bin_stream_batch_impl(
                     q_batch, gaps, submat, main, u_rows, interpret, gb,
-                    acc, tail, cu, na)
+                    acc, tail, cu, na, nbs=nbs)
             Q = q_batch.shape[0]
             flat = scores.reshape(Q, -1)
             idsf = ids.reshape(-1)
@@ -746,10 +774,16 @@ class DistributedSearchEngine:
 
         data_spec = (P(AXIS), P(AXIS)) if precompute else \
             (P(None, AXIS), P(AXIS))
+        if skip:
+            local_fn = inner
+            specs = (P(), P(), P(), P(), data_spec, P(AXIS), P())
+        else:
+            local_fn = lambda q_batch, gaps, submat, data, ids, \
+                lnl_table: inner(q_batch, None, gaps, submat, data, ids,
+                                 lnl_table)
+            specs = (P(), P(), P(), data_spec, P(AXIS), P())
         fn = jax.jit(jax.shard_map(
-            local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), data_spec, P(AXIS), P()),
-            out_specs=P(),
+            local_fn, mesh=self.mesh, in_specs=specs, out_specs=P(),
             check_vma=False))
         self._bin_fns[key] = fn
         return fn
@@ -771,14 +805,15 @@ class DistributedSearchEngine:
         return align_hits(self.db, query, result, self.submat,
                           self.config.open_gap, self.config.extend_gap)
 
-    def _bin_pack_fn(self, L: int, k: int, q_segs: int, n_used: int):
+    def _bin_pack_fn(self, L: int, k: int, q_segs: int, n_used: int,
+                     skip: bool):
         """Compiled per-bin shard_map for a PACKED query batch: q_segs
         independent queries as row segments of one kernel pass per shard,
         laid out by a dynamic seg_map (mixed lengths; see
         engine.search._search_bin_flat_pack_impl / mixed_pack_plan).
         n_used: slot count the merge keeps (pow2 — slots beyond the bin's
         query count are uninitialised and must not reach top_k)."""
-        key = ("pack", L, k, q_segs, n_used)
+        key = ("pack", L, k, q_segs, n_used, skip)
         if key in self._bin_fns:
             return self._bin_fns[key]
         u_rows, interpret = self.config.u_rows, self._interpret
@@ -787,20 +822,21 @@ class DistributedSearchEngine:
         precompute = self.mode == "precompute"
         geom = self.bin_geom.get(L)
 
-        def local_fn(q_packed, seg_map, gaps, submat, data, ids,
-                     lnl_table):
+        def inner(q_packed, seg_map, nb, gaps, submat, data, ids,
+                  lnl_table):
             if precompute:
                 prof_flat, tail_flat = data
                 off, C, G_loc, toff = geom
                 scores = _search_bin_flat_pack_impl(
                     q_packed, gaps, prof_flat, tail_flat, off, C, G_loc,
                     toff, q_segs, u_rows, interpret, gb, acc, cu, na,
-                    seg_map=seg_map)
+                    seg_map=seg_map, nb=nb)
             else:
                 main, tail = data
                 scores = _search_bin_stream_pack_impl(
                     q_packed, gaps, submat, main, q_segs, u_rows,
-                    interpret, gb, acc, tail, cu, na, seg_map=seg_map)
+                    interpret, gb, acc, tail, cu, na, seg_map=seg_map,
+                    nb=nb)
             flat = scores.reshape(q_segs, -1)[:n_used]
             idsf = ids.reshape(-1)
             masked = jnp.where(idsf[None] >= 0, flat, -1)
@@ -818,10 +854,16 @@ class DistributedSearchEngine:
 
         data_spec = (P(AXIS), P(AXIS)) if precompute else \
             (P(None, AXIS), P(AXIS))
+        if skip:
+            local_fn = inner
+            specs = (P(), P(), P(), P(), P(), data_spec, P(AXIS), P())
+        else:
+            local_fn = lambda q_packed, seg_map, gaps, submat, data, ids, \
+                lnl_table: inner(q_packed, seg_map, None, gaps, submat,
+                                 data, ids, lnl_table)
+            specs = (P(), P(), P(), P(), data_spec, P(AXIS), P())
         fn = jax.jit(jax.shard_map(
-            local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P(), P(), data_spec, P(AXIS), P()),
-            out_specs=P(),
+            local_fn, mesh=self.mesh, in_specs=specs, out_specs=P(),
             check_vma=False))
         self._bin_fns[key] = fn
         return fn
@@ -853,18 +895,22 @@ class DistributedSearchEngine:
                 queries)
         else:
             bins, rest = [], list(range(len(queries)))
-        for sub, qp_np, sm_np in bins:
+        for sub, qp_np, sm_np, used in bins:
             q_packed = jnp.asarray(qp_np)
             seg_map = jnp.asarray(sm_np)
+            nb = None if used == sm_np.shape[0] else \
+                jnp.asarray(used, jnp.int32)
+            nb_args = () if nb is None else (nb,)
             n2 = 1 << (len(sub) - 1).bit_length()
             cands = []
             for L in self.db.bin_lengths:
                 data = (self.prof_flat, self.tail_flat) if \
                     self.mode == "precompute" else \
                     self.seq_stacks[L]
-                cands.append(self._bin_pack_fn(L, k, S, n2)(
-                    q_packed, seg_map, self.gaps, self.submat_dev, data,
-                    self.ids[L], self.lnl_table))
+                cands.append(self._bin_pack_fn(L, k, S, n2,
+                                               nb is not None)(
+                    q_packed, seg_map, *nb_args, self.gaps,
+                    self.submat_dev, data, self.ids[L], self.lnl_table))
             pending.append((sub, cands, None, None, None, None, None))
 
         # unpacked leftovers: batched per padded-length class
@@ -873,23 +919,28 @@ class DistributedSearchEngine:
         by_len = {}
         for i in rest:
             by_len.setdefault(padded[i].shape[0], []).append(i)
+        u = self.config.u_rows
         for m_pad, idxs in by_len.items():
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
+            nb_l = [nb_of(np.asarray(queries[i]).size, u) for i in idxs]
+            nbs = None if all(b * u >= m_pad for b in nb_l) else \
+                jnp.asarray(nb_l, jnp.int32)
             if self.mode == "host_stream":
                 # one streaming sweep of the database scores the whole
                 # same-length batch (transfer cost amortised over queries);
                 # the sweep's readback loop is its own backpressure, so
                 # these candidates are already host-side
                 cs, ci, msum, msumsq, mslnl = \
-                    self._host_stream_candidates(qb, k)
+                    self._host_stream_candidates(qb, k, nbs)
                 pending.append((idxs, None, cs, ci, msum, msumsq, mslnl))
                 continue
             cands = []
             for L in self.db.bin_lengths:
                 data = (self.prof_flat, self.tail_flat) if \
                     self.mode == "precompute" else self.seq_stacks[L]
-                cands.append(self._bin_batch_fn(L, k)(
-                    qb, self.gaps, self.submat_dev, data, self.ids[L],
+                q_args = (qb,) + (() if nbs is None else (nbs,))
+                cands.append(self._bin_batch_fn(L, k, nbs is not None)(
+                    *q_args, self.gaps, self.submat_dev, data, self.ids[L],
                     self.lnl_table))
             pending.append((idxs, cands, None, None, None, None, None))
 

@@ -261,7 +261,7 @@ def _host_moments(scores_flat, valid_mask, lnl_flat):
 
 def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
                      group_block=1, acc_dtype=jnp.int32, prof_tail=None,
-                     col_unroll=16, noadj=False):
+                     col_unroll=16, noadj=False, nb=None):
     """Scan all column chunks of one bin; returns [G, 8, 128] int32 scores.
 
     prof_stack: int8[C, G, 24, POS, 128] precomputed score profiles for the
@@ -291,7 +291,8 @@ def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
                                       group_block=group_block,
                                       acc_dtype=acc_dtype,
                                       interpret=interpret,
-                                      col_unroll=col_unroll, noadj=noadj)
+                                      col_unroll=col_unroll, noadj=noadj,
+                                      n_blocks=nb)
         return (colH, colE, scores), None
 
     carry, _ = jax.lax.scan(one_chunk, (colH, colE, scores), prof_stack)
@@ -302,7 +303,8 @@ def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
 
 def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
                             interpret, group_block=1, acc_dtype=jnp.int32,
-                            seq_tail=None, col_unroll=16, noadj=False):
+                            seq_tail=None, col_unroll=16, noadj=False,
+                            nb=None):
     """Like `_search_bin_impl` but builds each chunk's score profile on the
     fly from the packed residues (seq_chunks: int8[C, G, W, 8, 128],
     seq_tail: optional int8[G, W/2, 8, 128]).
@@ -331,7 +333,8 @@ def _search_bin_stream_impl(q_pad, gaps, submat, seq_chunks, u_rows,
                                       group_block=group_block,
                                       acc_dtype=acc_dtype,
                                       interpret=interpret,
-                                      col_unroll=col_unroll, noadj=noadj)
+                                      col_unroll=col_unroll, noadj=noadj,
+                                      n_blocks=nb)
         return (colH, colE, scores), None
 
     carry, _ = jax.lax.scan(one_chunk, (colH, colE, scores), seq_chunks)
@@ -352,7 +355,8 @@ def _seg_start_mask(seg_map, R, q_segs, u_rows):
 def _search_bin_flat_pack_impl(q_packed, gaps, prof_flat, tail_flat, off,
                                C, G, toff, q_segs, u_rows, interpret,
                                group_block=1, acc_dtype=jnp.int32,
-                               col_unroll=16, noadj=False, seg_map=None):
+                               col_unroll=16, noadj=False, seg_map=None,
+                               nb=None):
     """Like `_search_bin_flat_impl` but with q_segs INDEPENDENT queries
     packed along the row axis (kernels.sw_chunk q_segs): one kernel pass
     per chunk scores every packed query, reading each profile block from
@@ -388,7 +392,8 @@ def _search_bin_flat_pack_impl(q_packed, gaps, prof_flat, tail_flat, off,
                                       acc_dtype=acc_dtype,
                                       interpret=interpret,
                                       col_unroll=col_unroll, noadj=noadj,
-                                      q_segs=q_segs, seg_map=seg_map)
+                                      q_segs=q_segs, seg_map=seg_map,
+                                      n_blocks=nb)
         return (colH, colE, scores)
 
     def body(c, carry):
@@ -409,7 +414,8 @@ def _search_bin_flat_pack_impl(q_packed, gaps, prof_flat, tail_flat, off,
 def _search_bin_stream_pack_impl(q_packed, gaps, submat, seq_chunks,
                                  q_segs, u_rows, interpret, group_block=1,
                                  acc_dtype=jnp.int32, seq_tail=None,
-                                 col_unroll=16, noadj=False, seg_map=None):
+                                 col_unroll=16, noadj=False, seg_map=None,
+                                 nb=None):
     """Packed-segment variant of `_search_bin_stream_impl` (see
     `_search_bin_flat_pack_impl`): q_segs independent queries per kernel
     pass, so the per-chunk profile gather AND its HBM read are paid once
@@ -434,7 +440,8 @@ def _search_bin_stream_pack_impl(q_packed, gaps, submat, seq_chunks,
                                       acc_dtype=acc_dtype,
                                       interpret=interpret,
                                       col_unroll=col_unroll, noadj=noadj,
-                                      q_segs=q_segs, seg_map=seg_map)
+                                      q_segs=q_segs, seg_map=seg_map,
+                                      n_blocks=nb)
         return (colH, colE, scores), None
 
     carry, _ = jax.lax.scan(one_chunk, (colH, colE, scores), seq_chunks)
@@ -446,23 +453,26 @@ def _search_bin_stream_pack_impl(q_packed, gaps, submat, seq_chunks,
 def _search_bin_stream_batch_impl(q_batch, gaps, submat, seq_chunks,
                                   u_rows, interpret, group_block=1,
                                   acc_dtype=jnp.int32, seq_tail=None,
-                                  col_unroll=16, noadj=False):
+                                  col_unroll=16, noadj=False, nbs=None):
     """Batched `_search_bin_stream_impl`: same-padded-length queries scan
     sequentially inside ONE compiled program (int32[Q, G, 8, 128]), so
     stream-mode batches amortise dispatch like the precompute flat-batch
-    path does."""
-    def one(_, q_pad):
+    path does.  nbs: optional int32[Q] per-query real row-block counts
+    (each query skips ITS OWN quantum padding, see sw_chunk n_blocks)."""
+    def one(_, qn):
+        q_pad, nb = qn if nbs is not None else (qn, None)
         return None, _search_bin_stream_impl(
             q_pad, gaps, submat, seq_chunks, u_rows, interpret,
-            group_block, acc_dtype, seq_tail, col_unroll, noadj)
-    _, scores = jax.lax.scan(one, None, q_batch)
+            group_block, acc_dtype, seq_tail, col_unroll, noadj, nb=nb)
+    _, scores = jax.lax.scan(one, None,
+                             (q_batch, nbs) if nbs is not None else q_batch)
     return scores
 
 
 def _search_bin_hostslice_impl(q_batch, gaps, submat, seq_slice, u_rows,
                                interpret, group_block=1,
                                acc_dtype=jnp.int32, col_unroll=16,
-                               noadj=False):
+                               noadj=False, nbs=None):
     """Scores for a query batch against one host-streamed group slice.
 
     seq_slice: int8[Gs, L, 8, 128] packed residues as stored on disk — the
@@ -477,17 +487,20 @@ def _search_bin_hostslice_impl(q_batch, gaps, submat, seq_slice, u_rows,
         Gs, C, CHUNK_WIDTH, SUBLANES, LANES).transpose(1, 0, 2, 3, 4)
     tail = seq_slice[:, C * CHUNK_WIDTH:] if L % CHUNK_WIDTH else None
 
-    def one(_, q_pad):
+    def one(_, qn):
+        q_pad, nb = qn if nbs is not None else (qn, None)
         return None, _search_bin_stream_impl(
             q_pad, gaps, submat, main, u_rows, interpret, group_block,
-            acc_dtype, tail, col_unroll, noadj)
-    _, scores = jax.lax.scan(one, None, q_batch)
+            acc_dtype, tail, col_unroll, noadj, nb=nb)
+    _, scores = jax.lax.scan(one, None,
+                             (q_batch, nbs) if nbs is not None else q_batch)
     return scores
 
 
 def _search_bin_flat_impl(q_pad, gaps, prof_flat, tail_flat, off, C, G,
                           toff, u_rows, interpret, group_block=1,
-                          acc_dtype=jnp.int32, col_unroll=16, noadj=False):
+                          acc_dtype=jnp.int32, col_unroll=16, noadj=False,
+                          nb=None):
     """Like `_search_bin_impl` but reads this bin's chunk profiles out of
     the ENGINE-WIDE flat profile array.
 
@@ -515,7 +528,8 @@ def _search_bin_flat_impl(q_pad, gaps, prof_flat, tail_flat, off, C, G,
                                       group_block=group_block,
                                       acc_dtype=acc_dtype,
                                       interpret=interpret,
-                                      col_unroll=col_unroll, noadj=noadj)
+                                      col_unroll=col_unroll, noadj=noadj,
+                                      n_blocks=nb)
         return (colH, colE, scores)
 
     def body(c, carry):
@@ -537,17 +551,19 @@ def _search_bin_flat_impl(q_pad, gaps, prof_flat, tail_flat, off, C, G,
 def _search_bin_flat_batch_impl(q_batch, gaps, prof_flat, tail_flat, off,
                                 C, G, toff, u_rows, interpret,
                                 group_block=1, acc_dtype=jnp.int32,
-                                col_unroll=16, noadj=False):
+                                col_unroll=16, noadj=False, nbs=None):
     """Query-batch scan over `_search_bin_flat_impl`: queries run
     sequentially inside one compiled program, amortising dispatch (the
     reference loops queries inside one chunk's device round the same way,
     FPGAsearch.c:204-219); _search_bin_flat_pack_impl goes further for
     short queries by also sharing the profile reads."""
-    def one(_, q_pad):
+    def one(_, qn):
+        q_pad, nb = qn if nbs is not None else (qn, None)
         return None, _search_bin_flat_impl(
             q_pad, gaps, prof_flat, tail_flat, off, C, G, toff, u_rows,
-            interpret, group_block, acc_dtype, col_unroll, noadj)
-    _, scores = jax.lax.scan(one, None, q_batch)
+            interpret, group_block, acc_dtype, col_unroll, noadj, nb=nb)
+    _, scores = jax.lax.scan(one, None,
+                             (q_batch, nbs) if nbs is not None else q_batch)
     return scores
 
 
@@ -674,9 +690,11 @@ def mixed_pack_plan(pack_rows: int, u_rows: int, queries,
     identical.
 
     Returns (bins, rest): bins = [(idxs, q_packed int32[m_tot],
-    seg_map int32[m_tot//u_rows])] with idxs[s] the query in segment slot
-    s; rest = indices of queries too long to pack (> pack_rows rows) that
-    ride the per-pad-class batch path instead.
+    seg_map int32[m_tot//u_rows], used_blocks)] with idxs[s] the query in
+    segment slot s and used_blocks the real (non-filler) row-block count
+    — the kernel's dummy-block skip trip count (sw_chunk n_blocks); rest
+    = indices of queries too long to pack (> pack_rows rows) that ride
+    the per-pad-class batch path instead.
     """
     n = len(queries)
     if not pack_rows or pack_rows // u_rows < 2 or n < 2:
@@ -717,7 +735,7 @@ def mixed_pack_plan(pack_rows: int, u_rows: int, queries,
         # (score-inert, sliced away), else they extend the last segment
         # with DUMMY rows (also score-inert)
         sm[off:] = min(len(idxs), max_segs - 1)
-        out.append((idxs, qp, sm))
+        out.append((idxs, qp, sm, off))
     return out, rest
 
 
@@ -760,6 +778,21 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True):
             m = m_pad + 1
     engine.metrics.add("warmup", 0.0)
     return m_pads
+
+
+def nb_of(qlen: int, u_rows: int) -> int:
+    """Real row-block count for a true query length — the kernel's
+    dummy-row-block skip trip count (>= 1 so block 0 still initialises
+    the kernel state; see sw_chunk n_blocks)."""
+    return max(1, -(-int(qlen) // u_rows))
+
+
+def nb_or_none(qlen: int, m_pad: int, u_rows: int):
+    """Skip trip count as a traced scalar, or None when the query fills
+    its pad class — None compiles the branch-free kernel variant (the
+    always-on grid branch costs ~2% even when it never skips)."""
+    nb = nb_of(qlen, u_rows)
+    return None if nb * u_rows >= m_pad else jnp.asarray(nb, jnp.int32)
 
 
 def pad_query(query, config: "SearchConfig", for_batch: bool = False):
@@ -942,7 +975,7 @@ class SearchEngine:
         self.host_slices[L] = slices
         return ids_out
 
-    def _host_stream_scores(self, q_batch) -> np.ndarray:
+    def _host_stream_scores(self, q_batch, nbs=None) -> np.ndarray:
         """int32[Q, n_slots] scores with the database streamed host->device
         slice by slice, double-buffered: slice i+1's transfer is enqueued
         before slice i's compute dispatch, and the host blocks only on
@@ -952,6 +985,8 @@ class SearchEngine:
         clEnqueueWriteBuffer round (FPGAsearch.c:180-237)."""
         qb = jnp.asarray(q_batch)
         Q = qb.shape[0]
+        if nbs is not None:
+            nbs = jnp.asarray(nbs, jnp.int32)
         flat = [(L, arr) for L in self.db.bin_lengths
                 for arr in self.host_slices[L]]
         cfg = self.config
@@ -966,7 +1001,8 @@ class SearchEngine:
                 s = _search_bin_hostslice(qb, self.gaps, self.submat_dev,
                                           dev, cfg.u_rows, self._interpret,
                                           cfg.group_block, self._acc,
-                                          cfg.col_unroll, self._noadj)
+                                          cfg.col_unroll, self._noadj,
+                                          nbs=nbs)
                 outs.append(np.asarray(s).reshape(Q, -1))
             return np.concatenate(outs, axis=1) if outs else \
                 np.zeros((Q, 0), np.int32)
@@ -978,7 +1014,8 @@ class SearchEngine:
             s = _search_bin_hostslice(qb, self.gaps, self.submat_dev, dev,
                                       cfg.u_rows, self._interpret,
                                       cfg.group_block, self._acc,
-                                      cfg.col_unroll, self._noadj)
+                                      cfg.col_unroll, self._noadj,
+                                      nbs=nbs)
             if pending is not None:
                 # blocking readback of slice i-1's scores: the backpressure
                 # that bounds in-flight slices (and frees their HBM)
@@ -1008,7 +1045,7 @@ class SearchEngine:
         bin_geom = dict(self.bin_geom)
 
         @jax.jit
-        def f(q_pad, gaps, submat, stacks, valid, lnl):
+        def f(q_pad, nb, gaps, submat, stacks, valid, lnl):
             outs = []
             for L in bin_lengths:
                 if precompute:
@@ -1016,12 +1053,14 @@ class SearchEngine:
                     off, C, G, toff = bin_geom[L]
                     s = _search_bin_flat_impl(q_pad, gaps, prof_flat,
                                               tail_flat, off, C, G, toff,
-                                              u, interpret, gb, acc, cu, na)
+                                              u, interpret, gb, acc, cu, na,
+                                              nb=nb)
                 else:
                     main, tail = stacks[L]
                     s = _search_bin_stream_impl(q_pad, gaps, submat,
                                                 main, u, interpret,
-                                                gb, acc, tail, cu, na)
+                                                gb, acc, tail, cu, na,
+                                                nb=nb)
                 outs.append(s.reshape(-1))
             flat = jnp.concatenate(outs) if outs else \
                 jnp.zeros((0,), jnp.int32)
@@ -1037,8 +1076,11 @@ class SearchEngine:
     def score_all(self, query) -> jnp.ndarray:
         """Scores for every database sequence, in sorted-id slot order."""
         q_pad = jnp.asarray(self._pad_query(query))
+        nb = nb_or_none(np.asarray(query).size, q_pad.shape[0],
+                        self.config.u_rows)
         if self.mode == "host_stream":
-            return jnp.asarray(self._host_stream_scores(q_pad[None])[0])
+            return jnp.asarray(self._host_stream_scores(
+                q_pad[None], None if nb is None else nb[None])[0])
         outs = []
         for L in self.db.bin_lengths:
             if self.mode == "precompute":
@@ -1051,7 +1093,7 @@ class SearchEngine:
                                      group_block=self.config.group_block,
                                      acc_dtype=self._acc,
                                      col_unroll=self.config.col_unroll,
-                                     noadj=self._noadj)
+                                     noadj=self._noadj, nb=nb)
             else:
                 main, tail = self.seq_stacks[L]
                 s = _search_bin_stream(q_pad, self.gaps, self.submat_dev,
@@ -1059,7 +1101,7 @@ class SearchEngine:
                                        self._interpret,
                                        self.config.group_block, self._acc,
                                        tail, self.config.col_unroll,
-                                       noadj=self._noadj)
+                                       noadj=self._noadj, nb=nb)
             outs.append(s.reshape(-1))
         return jnp.concatenate(outs) if outs else jnp.zeros((0,), jnp.int32)
 
@@ -1070,8 +1112,12 @@ class SearchEngine:
         t0 = time.perf_counter()
         k = min(self.config.top, self.db.n_seqs)
         if self.mode == "host_stream":
+            q_pad_hs = self._pad_query(query)
+            nb1 = nb_or_none(np.asarray(query).size, q_pad_hs.shape[0],
+                             self.config.u_rows)
             scores = self._host_stream_scores(
-                jnp.asarray(self._pad_query(query))[None])[0]
+                jnp.asarray(q_pad_hs)[None],
+                None if nb1 is None else nb1[None])[0]
             top_scores, top_slots = _host_topk(scores, self.ids_flat, k)
             msum, msumsq, mslnl = _host_moments(
                 scores, self.ids_flat >= 0, self.lnl_flat)
@@ -1084,10 +1130,12 @@ class SearchEngine:
                      not self._interpret and q_pad_np.shape[0] <= 128)
         if fused:
             q_pad = jnp.asarray(q_pad_np)
+            nb = nb_or_none(np.asarray(query).size, q_pad_np.shape[0],
+                            self.config.u_rows)
             stacks = (self.prof_flat, self.tail_flat) if \
                 self.mode == "precompute" else self.seq_stacks
             packed = self._search_fn(k)(
-                q_pad, self.gaps, self.submat_dev, stacks, self.valid,
+                q_pad, nb, self.gaps, self.submat_dev, stacks, self.valid,
                 self.lnl)
         else:
             scores = self.score_all(query)
@@ -1193,9 +1241,11 @@ class SearchEngine:
                 queries)
         else:
             bins, rest = [], list(range(len(queries)))
-        for sub, qp_np, sm_np in bins:
+        for sub, qp_np, sm_np, used in bins:
             q_packed = jnp.asarray(qp_np)
             seg_map = jnp.asarray(sm_np)
+            nb = None if used == sm_np.shape[0] else \
+                jnp.asarray(used, jnp.int32)
             outs = []
             for L in self.db.bin_lengths:
                 if self.mode == "stream":
@@ -1208,7 +1258,7 @@ class SearchEngine:
                         group_block=self.config.group_block,
                         acc_dtype=self._acc, seq_tail=tail,
                         col_unroll=self.config.col_unroll,
-                        noadj=self._noadj, seg_map=seg_map)
+                        noadj=self._noadj, seg_map=seg_map, nb=nb)
                 else:
                     off, C, G, toff = self.bin_geom[L]
                     s = _search_bin_flat_pack(
@@ -1221,7 +1271,7 @@ class SearchEngine:
                         group_block=self.config.group_block,
                         acc_dtype=self._acc,
                         col_unroll=self.config.col_unroll,
-                        noadj=self._noadj, seg_map=seg_map)
+                        noadj=self._noadj, seg_map=seg_map, nb=nb)
                 outs.append(s.reshape(S, -1))
             # top-k over a pow2 slot count (not all S): unused slots are
             # uninitialised, and the pow2 ladder bounds compile count
@@ -1238,12 +1288,16 @@ class SearchEngine:
         by_len = {}
         for i in rest:
             by_len.setdefault(padded[i].shape[0], []).append(i)
+        u = self.config.u_rows
         for m_pad, idxs in by_len.items():
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
+            nb_l = [nb_of(np.asarray(queries[i]).size, u) for i in idxs]
+            nbs = None if all(b * u >= m_pad for b in nb_l) else \
+                jnp.asarray(nb_l, jnp.int32)
             if self.mode == "host_stream":
                 # one streaming sweep of the database scores the whole
                 # same-length batch (transfer cost amortised over queries)
-                flat_np = self._host_stream_scores(qb)
+                flat_np = self._host_stream_scores(qb, nbs)
                 packed = None
                 top_scores = np.empty((len(idxs), k), np.int32)
                 top_slots = np.empty((len(idxs), k), np.int64)
@@ -1264,7 +1318,7 @@ class SearchEngine:
                             group_block=self.config.group_block,
                             acc_dtype=self._acc, seq_tail=tail,
                             col_unroll=self.config.col_unroll,
-                            noadj=self._noadj)
+                            noadj=self._noadj, nbs=nbs)
                     else:
                         off, C, G, toff = self.bin_geom[L]
                         s = _search_bin_flat_batch(
@@ -1276,7 +1330,7 @@ class SearchEngine:
                             group_block=self.config.group_block,
                             acc_dtype=self._acc,
                             col_unroll=self.config.col_unroll,
-                            noadj=self._noadj)
+                            noadj=self._noadj, nbs=nbs)
                     outs.append(s.reshape(len(idxs), -1))
                 packed = jax.vmap(
                     lambda sc: _topk(sc, self.valid, self.lnl, k))(

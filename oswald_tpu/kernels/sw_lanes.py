@@ -120,12 +120,16 @@ def noadj_ok(submat, extend_gap: int) -> bool:
     return True
 
 
-def _kernel(u_rows, gb, acc_dtype, col_unroll, noadj, bps, q_ref, gaps_ref,
-            *refs):
+def _kernel(u_rows, gb, acc_dtype, col_unroll, noadj, bps, has_nb, q_ref,
+            gaps_ref, *refs):
     # bps is None in the DYNAMIC segment layout (unequal packed-query
-    # lengths): the segment map rides as a third scalar-prefetch ref and
+    # lengths): the segment map rides as an extra scalar-prefetch ref and
     # row block r belongs to slot seg_ref[r].  bps set = the static
     # uniform layout (every segment bps row blocks).
+    if has_nb:
+        nb_ref, *refs = refs
+    else:
+        nb_ref = None
     if bps is None:
         seg_ref, *refs = refs
     else:
@@ -137,6 +141,45 @@ def _kernel(u_rows, gb, acc_dtype, col_unroll, noadj, bps, q_ref, gaps_ref,
     W = prof_ref.shape[2] // SUBLANES
     eg = gaps_ref[1].astype(acc_dtype)
     oeg = (gaps_ref[0] + gaps_ref[1]).astype(acc_dtype)
+
+    if nb_ref is None:
+        # no dummy-row skip compiled in: the unconditional body (callers
+        # with exact-multiple query lengths use this variant — the grid
+        # branch costs ~2% even when it never skips, measured v5e)
+        _kernel_body(u_rows, gb, acc_dtype, col_unroll, noadj, bps, q_ref,
+                     gaps_ref, seg_ref, prof_ref, colh_ref, colhd_ref,
+                     cole_ref, sin_ref, scores_ref, colho_ref, coleo_ref,
+                     hrow_ref, fcol_ref, r, U, W, eg, oeg)
+        return
+
+    # Dummy-row-block skip: row blocks past the query's TRUE length (the
+    # quantum padding) are score-inert — a dummy row's F-independent
+    # candidate is max(diag, 0, e), every term of which is dominated by
+    # an earlier real row's candidate in the same column, so smax cannot
+    # move — and their carried state feeds only other dummy blocks.  The
+    # trip count is a traced scalar, so ONE compiled (m_pad, ...) program
+    # serves every true length in its pad class at true-length compute
+    # cost (a skipped grid step costs only its block DMAs).
+    @pl.when(r < nb_ref[0])
+    def _body():
+        _kernel_body(u_rows, gb, acc_dtype, col_unroll, noadj, bps, q_ref,
+                     gaps_ref, seg_ref, prof_ref, colh_ref, colhd_ref,
+                     cole_ref, sin_ref, scores_ref, colho_ref, coleo_ref,
+                     hrow_ref, fcol_ref, r, U, W, eg, oeg)
+
+    @pl.when(r >= nb_ref[0])
+    def _skip():
+        # skipped blocks' carried-state output buffers are written back
+        # regardless (Pallas copies the block either way) — zeros instead
+        # of uninitialised VMEM keep the carry deterministic
+        colho_ref[...] = jnp.zeros_like(colho_ref)
+        coleo_ref[...] = jnp.zeros_like(coleo_ref)
+
+
+def _kernel_body(u_rows, gb, acc_dtype, col_unroll, noadj, bps, q_ref,
+                 gaps_ref, seg_ref, prof_ref, colh_ref, colhd_ref, cole_ref,
+                 sin_ref, scores_ref, colho_ref, coleo_ref, hrow_ref,
+                 fcol_ref, r, U, W, eg, oeg):
 
     if seg_ref is None:
         is_seg_start = r % bps == 0
@@ -262,7 +305,7 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
              u_rows: int = DEFAULT_U_ROWS, group_block: int = 1,
              acc_dtype=jnp.int32, interpret: bool = False,
              col_unroll: int = DEFAULT_COL_UNROLL, noadj: bool = False,
-             q_segs: int = 1, seg_map=None):
+             q_segs: int = 1, seg_map=None, n_blocks=None):
     """Score one column chunk of the DP matrix for all groups.
 
     q:          int32[m_pad]               encoded query (scalar-prefetched)
@@ -301,6 +344,15 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
     iteration; must divide the chunk's column count (64 or 128, so any
     power of two <= 64 is always valid).  noadj: relaxed E-update that
     saves one op/cell — exact for every scoring config (see noadj_ok).
+
+    n_blocks: optional TRACED row-block trip count (int32 scalar): row
+    blocks >= n_blocks — the quantum padding's DUMMY rows — are skipped
+    entirely (exact: dummy rows are score-inert, see _kernel), so one
+    compiled (m_pad, ...) program serves every true query length in its
+    pad class at true-length compute cost.  None = all blocks real.  The
+    reference's analog: its kernel launches take m verbatim
+    (FPGAsearch.c:204-219) — this recovers that economy under XLA's
+    static shapes.
     Returns (scores, colH_out, colE_out); scores match scores_in's shape.
     """
     G = prof_chunk.shape[0]
@@ -323,6 +375,15 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
     if squeeze:
         scores_in = scores_in[:, None]
     assert scores_in.shape[1] == q_segs, (scores_in.shape, q_segs)
+    # dummy-row-block skip (see _kernel): trip count over the row-block
+    # grid axis.  None compiles the UNCONDITIONAL kernel (no per-step
+    # branch — exact-multiple query lengths pay nothing); an array value
+    # is traced, so every true length in a pad class shares one compiled
+    # skip-variant program.
+    has_nb = n_blocks is not None
+    nb_ops = (jnp.asarray(n_blocks, jnp.int32).reshape(1),) if has_nb \
+        else ()
+    seg_pos = 2 + len(nb_ops)             # seg_map's scalar-prefetch slot
     if seg_map is None:
         if R % q_segs:
             raise ValueError(
@@ -330,7 +391,8 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
                 f"{m_pad}, u_rows {u_rows})")
         bps = R // q_segs                 # row blocks per segment
         seg_idx = lambda g, r, *_: (g, r // bps, 0, 0)
-        prefetch = (jnp.asarray(q, jnp.int32), jnp.asarray(gaps, jnp.int32))
+        prefetch = (jnp.asarray(q, jnp.int32),
+                    jnp.asarray(gaps, jnp.int32)) + nb_ops
     else:
         seg_map = jnp.asarray(seg_map, jnp.int32)
         if seg_map.shape != (R,):
@@ -338,9 +400,9 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
                 f"seg_map must have one slot per row block, expected "
                 f"({R},), got {seg_map.shape}")
         bps = None                        # dynamic layout: slots from the map
-        seg_idx = lambda g, r, *s: (g, s[2][r], 0, 0)
-        prefetch = (jnp.asarray(q, jnp.int32), jnp.asarray(gaps, jnp.int32),
-                    seg_map)
+        seg_idx = lambda g, r, *s: (g, s[seg_pos][r], 0, 0)
+        prefetch = (jnp.asarray(q, jnp.int32),
+                    jnp.asarray(gaps, jnp.int32)) + nb_ops + (seg_map,)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
@@ -380,7 +442,8 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
     # interpret mode executes the traced body op by op, so unrolling only
     # slows it down; compiled mode gets the measured +15%
     cu = 1 if interpret else col_unroll
-    kernel = functools.partial(_kernel, U, GB, acc_dtype, cu, noadj, bps)
+    kernel = functools.partial(_kernel, U, GB, acc_dtype, cu, noadj, bps,
+                               has_nb)
     cells = G * m_pad * (POS // SUBLANES) * SUBLANES * LANES
     scores, colH_out, colE_out = pl.pallas_call(
         kernel,

@@ -165,7 +165,7 @@ def test_mixed_pack_plan_invariants(rng):
                                   if -(-n // u) > 128)
     placed = [i for b in bins for i in b[0]]
     assert sorted(placed + rest) == list(range(len(queries)))
-    for idxs, qp, sm in bins:
+    for idxs, qp, sm, used in bins:
         assert len(idxs) <= MIXED_PACK_SEGS
         assert qp.shape[0] <= 1024 and qp.shape[0] % u == 0
         assert sm.shape[0] == qp.shape[0] // u
@@ -180,6 +180,9 @@ def test_mixed_pack_plan_invariants(rng):
             assert np.all(qp[off * u + queries[i].size:
                              (off + b) * u] == DUMMY)
             off += b
+        # used = real blocks (the kernel's dummy-block skip trip count):
+        # everything past it is trailing filler
+        assert used == off and used <= sm.shape[0]
     # encoding guard: raw ASCII codes must be rejected
     import pytest
     with pytest.raises(ValueError, match="encode"):
