@@ -723,7 +723,10 @@ def mixed_pack_plan(pack_rows: int, u_rows: int, queries,
             bins.append([blocks[i], [i]])
     out = []
     for used, idxs in bins:
-        rb = max(2, 1 << (used - 1).bit_length())
+        # pow2 ladder, but never past the configured row budget: the cap
+        # bounds the scan-state HBM (colH/colE scale with packed rows), so
+        # a non-pow2 pack_rows must not silently allocate the next pow2
+        rb = min(r_cap, max(2, 1 << (used - 1).bit_length()))
         qp = np.full(rb * u_rows, DUMMY, np.int32)
         sm = np.empty(rb, np.int32)
         off = 0
@@ -741,12 +744,12 @@ def mixed_pack_plan(pack_rows: int, u_rows: int, queries,
 
 def warmup_engine(engine, max_query_len: int = 512, batch: bool = True):
     """Shared warmup for both engines: precompile every (bin, padded-query)
-    program for queries up to max_query_len, and (batch=True) a 2-query
-    search_many per batch pad class so the first multi-query request does
-    not pay the batched/packed programs' XLA compile either (single-query
-    warmup alone leaves the ("batch"/"pack", L, k) programs cold).  Larger
-    batches whose pack size exceeds 2 still compile their own (m_pad, S)
-    program on first sight — the pack ladder is logarithmic, so a serving
+    program for queries up to max_query_len — in BOTH kernel variants
+    (dummy-block skip and branch-free full-class, see sw_chunk n_blocks)
+    — and (batch=True) the common packed/batched program rungs per batch
+    pad class (1-query and 2-query packs, both variants).  Larger bursts
+    whose pack rung wasn't warmed still compile their own (m_tot, S)
+    program on first sight — the ladder is logarithmic, so a serving
     deployment converges after a handful of requests.  Returns the single-
     query padded lengths compiled."""
     m_pads = []
@@ -755,24 +758,43 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True):
         m_pad = pad_query(np.zeros(m, np.int8), engine.config).shape[0]
         if not m_pads or m_pad != m_pads[-1]:
             m_pads.append(m_pad)
+            # TWO lengths per pad class: the class start (compiles the
+            # dummy-block-SKIP kernel variant, sw_chunk n_blocks) and the
+            # full class length (compiles the branch-free nb=None variant
+            # — a query that exactly fills its class selects a DIFFERENT
+            # program, and warming only one leaves the other cold)
             engine.search(np.full(min(m, max_query_len), DUMMY, np.int8))
+            if m_pad <= max_query_len and m_pad != m:
+                engine.search(np.full(m_pad, DUMMY, np.int8))
         if m_pad >= max_query_len:
             break
         m = m_pad + 1
     if batch:
+        # the packed-batch programs are keyed by (packed rows, S) with
+        # pow2-laddered rows, each in a skip and a no-skip variant.  Per
+        # pad class compile: the full-length pair (used = 2*b blocks, b
+        # pow2, so rb == used -> the branch-free 2-pack rung), the
+        # boundary-length pair (same rb, skip variant), and a forced
+        # split against a pack-cap-sized query (separate bins -> the
+        # 1-query rungs).  Larger bursts may still compile their rung on
+        # first sight — the ladder is logarithmic and converges after a
+        # few requests.
         b_pads = set()
+        cap_rows = max(engine.config.batch_query_pack_rows,
+                       engine.config.u_rows)
+        q_cap = np.full(min(cap_rows, max_query_len), DUMMY, np.int8)
         m = 1
         while True:
             m_pad = pad_query(np.zeros(m, np.int8), engine.config,
                               for_batch=True).shape[0]
             if m_pad not in b_pads:
                 b_pads.add(m_pad)
-                q = np.full(min(m, max_query_len), DUMMY, np.int8)
-                # 3 queries: mixed_pack_plan bins them [2, 1], compiling
-                # BOTH the 2-query and the leftover 1-query pack programs
-                # (a coalesced server burst of any odd size hits the
-                # 1-pack; warmup with only [q, q] left it cold)
-                engine.search_many([q, q, q])
+                qb = np.full(min(m, max_query_len), DUMMY, np.int8)
+                qf = np.full(min(m_pad, max_query_len), DUMMY, np.int8)
+                engine.search_many([qf, qf])
+                if m != m_pad:
+                    engine.search_many([qb, qb])
+                engine.search_many([qf, q_cap])
             if m_pad >= max_query_len:
                 break
             m = m_pad + 1

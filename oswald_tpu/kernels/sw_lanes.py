@@ -160,20 +160,16 @@ def _kernel(u_rows, gb, acc_dtype, col_unroll, noadj, bps, has_nb, q_ref,
     # trip count is a traced scalar, so ONE compiled (m_pad, ...) program
     # serves every true length in its pad class at true-length compute
     # cost (a skipped grid step costs only its block DMAs).
+    # skipped blocks do nothing at all: their block indices are clamped to
+    # the last real block (sw_chunk's row_idx), so there is no DMA and no
+    # write-back to poison — real block nb-1's outputs must stay intact,
+    # which is exactly why this branch has no else arm
     @pl.when(r < nb_ref[0])
     def _body():
         _kernel_body(u_rows, gb, acc_dtype, col_unroll, noadj, bps, q_ref,
                      gaps_ref, seg_ref, prof_ref, colh_ref, colhd_ref,
                      cole_ref, sin_ref, scores_ref, colho_ref, coleo_ref,
                      hrow_ref, fcol_ref, r, U, W, eg, oeg)
-
-    @pl.when(r >= nb_ref[0])
-    def _skip():
-        # skipped blocks' carried-state output buffers are written back
-        # regardless (Pallas copies the block either way) — zeros instead
-        # of uninitialised VMEM keep the carry deterministic
-        colho_ref[...] = jnp.zeros_like(colho_ref)
-        coleo_ref[...] = jnp.zeros_like(coleo_ref)
 
 
 def _kernel_body(u_rows, gb, acc_dtype, col_unroll, noadj, bps, q_ref,
@@ -404,6 +400,18 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
         prefetch = (jnp.asarray(q, jnp.int32),
                     jnp.asarray(gaps, jnp.int32)) + nb_ops + (seg_map,)
 
+    if has_nb:
+        # skipped row blocks clamp their block index to the last REAL
+        # block: consecutive grid steps revisiting the same block do no
+        # DMA, so a skipped step costs only the grid iteration (the
+        # kernel body is under @pl.when(r < nb) and never touches the
+        # revisited buffers — real block nb-1's outputs stay intact, and
+        # colH/colE rows past nb*U are left unwritten garbage that only
+        # other skipped blocks ever index).
+        row_idx = lambda g, r, *s: (g, jnp.minimum(r, s[2][0] - 1), 0, 0)
+    else:
+        row_idx = lambda g, r, *_: (g, r, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
         grid=(G // GB, R),
@@ -411,14 +419,11 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
             pl.BlockSpec((GB, ALPHA_SIZE, POS, LANES),
                          lambda g, r, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, U, SUBLANES, LANES),
-                         lambda g, r, *_: (g, r, 0, 0),
+            pl.BlockSpec((GB, U, SUBLANES, LANES), row_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, 1, SUBLANES, LANES),
-                         lambda g, r, *_: (g, r, 0, 0),
+            pl.BlockSpec((GB, 1, SUBLANES, LANES), row_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, U, SUBLANES, LANES),
-                         lambda g, r, *_: (g, r, 0, 0),
+            pl.BlockSpec((GB, U, SUBLANES, LANES), row_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GB, 1, SUBLANES, LANES), seg_idx,
                          memory_space=pltpu.VMEM),
@@ -426,11 +431,9 @@ def sw_chunk(q, gaps, prof_chunk, colH, colHd, colE, scores_in,
         out_specs=[
             pl.BlockSpec((GB, 1, SUBLANES, LANES), seg_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, U, SUBLANES, LANES),
-                         lambda g, r, *_: (g, r, 0, 0),
+            pl.BlockSpec((GB, U, SUBLANES, LANES), row_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, U, SUBLANES, LANES),
-                         lambda g, r, *_: (g, r, 0, 0),
+            pl.BlockSpec((GB, U, SUBLANES, LANES), row_idx,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[

@@ -104,9 +104,15 @@ class SearchService:
             t0 = time.perf_counter()
             try:
                 results = self.engine.search_many(queries, titles)
-            except Exception as e:          # noqa: BLE001 - fail the batch,
-                for p in batch:             # not the server
-                    p.error = e
+            except Exception:               # noqa: BLE001 - isolate the
+                # offender: retry each coalesced request individually so
+                # one pathological query doesn't fail its batch-mates
+                # (each gets its OWN exception instance, not a shared one)
+                for p in batch:
+                    try:
+                        p.results = self.engine.search_many(p.enc, p.titles)
+                    except Exception as e:  # noqa: BLE001
+                        p.error = e
                     p.done.set()
                 continue
             dt = time.perf_counter() - t0
@@ -294,10 +300,16 @@ def _make_handler(service: SearchService):
                 return
             try:
                 self._reply(200, service.search(payload))
-            except (ValueError, TypeError, AttributeError, KeyError) as e:
-                # type-confused payloads (e.g. {"fasta": 123}) must come
-                # back as a 400, not a dropped connection + traceback
+            except (ValueError, TypeError) as e:
+                # payload validation raises ValueError/TypeError: a 400.
+                # (Catching AttributeError/KeyError here would disguise
+                # genuine server-side bugs as client errors.)
                 self._reply(400, {"error": str(e)})
+            except Exception as e:          # noqa: BLE001
+                # engine/server-side failure: a 500 JSON error, not a
+                # dropped connection — and distinguishable from a bad
+                # payload for monitoring
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 
