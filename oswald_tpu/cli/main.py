@@ -64,6 +64,9 @@ def _add_engine_args(sp):
                          "(MiB); mainly for testing the mode selection")
     sp.add_argument("--u-rows", type=int, default=8)
     sp.add_argument("--group-block", type=int, default=2)
+    sp.add_argument("--col-unroll", type=int, default=16,
+                    help="DP columns per kernel loop iteration (kernel "
+                         "geometry; see `oswald-tpu tune`)")
 
 
 def _add_search_args(sp):
@@ -131,6 +134,20 @@ def build_parser():
                          "default: 512)")
 
     sub.add_parser("info", help="TPU device information")
+
+    tn = sub.add_parser(
+        "tune",
+        help="measure kernel-geometry candidates on the attached device "
+             "and print the fastest --u-rows/--group-block/--col-unroll "
+             "flags (defaults are the v5e optimum; run once per new TPU "
+             "generation)")
+    tn.add_argument("--m", type=int, default=512,
+                    help="query rows of the synthetic workload")
+    tn.add_argument("--groups", type=int, default=24)
+    tn.add_argument("--chunks", type=int, default=8)
+    tn.add_argument("--iters", type=int, default=3)
+    tn.add_argument("--json", action="store_true",
+                    help="print the full result object as JSON")
     return p
 
 
@@ -152,6 +169,7 @@ def _build_engine(args):
                            extend_gap=args.gap_extend, top=args.top,
                            u_rows=args.u_rows,
                            group_block=args.group_block,
+                           col_unroll=args.col_unroll,
                            profile_mode=args.profile_mode,
                            hbm_budget_bytes=args.hbm_budget_mb << 20
                            if args.hbm_budget_mb else None)
@@ -346,11 +364,27 @@ def cmd_info(args):
     return 0
 
 
+def cmd_tune(args):
+    import json as _json
+    from oswald_tpu.tune import autotune
+    out = autotune(m=args.m, groups=args.groups, chunks=args.chunks,
+                   iters=args.iters, log=lambda s: print(s, file=sys.stderr))
+    if args.json:
+        print(_json.dumps(out))
+    else:
+        print(f"best geometry on {out['device']}: "
+              f"--u-rows {out['u_rows']} --group-block {out['group_block']}"
+              f" ({out['gcells']} Gcells/s; col_unroll "
+              f"{out['col_unroll']} via SearchConfig)")
+    return 0
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     try:
         return {"preprocess": cmd_preprocess, "search": cmd_search,
-                "serve": cmd_serve, "info": cmd_info}[args.op](args)
+                "serve": cmd_serve, "info": cmd_info,
+                "tune": cmd_tune}[args.op](args)
     except _CLIError as e:
         print(f"oswald-tpu: error: {e}", file=sys.stderr)
         return 2

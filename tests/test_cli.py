@@ -196,3 +196,31 @@ def test_cli_tabular_output(tmp_path, rng, capsys):
     assert int(top[8]) == 1 and int(top[9]) == 50          # sstart, send
     assert float(top[10]) < 1e-6                           # evalue
     assert float(top[11]) > 20                             # bits
+
+
+def test_tune_autotune_tiny(monkeypatch, capsys):
+    """The autotuner's coordinate descent runs end-to-end (tiny axes,
+    interpret kernel), disqualifies nothing on a healthy device, and
+    returns a valid geometry whose checksum gate held."""
+    import oswald_tpu.tune as tune
+    monkeypatch.setattr(tune, "U_ROWS_AXIS", (8,))
+    monkeypatch.setattr(tune, "GROUP_BLOCK_AXIS", (1, 2))
+    monkeypatch.setattr(tune, "COL_UNROLL_AXIS", (16,))
+    out = tune.autotune(m=16, groups=2, chunks=1, iters=1,
+                        log=lambda s: None)
+    assert out["u_rows"] == 8 and out["col_unroll"] == 16
+    assert out["group_block"] in (1, 2)
+    assert out["gcells"] > 0
+    assert all("error" not in r for r in out["results"]), out["results"]
+    # CLI wiring
+    from oswald_tpu.cli.main import build_parser
+    args = build_parser().parse_args(["tune", "--m", "16", "--iters", "1"])
+    assert args.op == "tune" and args.m == 16
+
+
+def test_cli_col_unroll_flag(tmp_path):
+    """--col-unroll reaches SearchConfig (and validates)."""
+    from oswald_tpu.cli.main import build_parser
+    args = build_parser().parse_args(
+        ["search", "-q", "q.fa", "-d", "db", "--col-unroll", "8"])
+    assert args.col_unroll == 8
