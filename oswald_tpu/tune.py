@@ -104,7 +104,7 @@ def autotune(m: int = 512, groups: int = SYNTH_G, chunks: int = 8,
             results.append({"cfg": key, "gcells": 0.0, "error": "checksum"})
             return 0.0
         say(f"  u={u} gb={gb} cu={cu}: {gc:.1f} Gcells/s")
-        results.append({"cfg": key, "gcells": round(gc, 1)})
+        results.append({"cfg": key, "gcells": round(gc, 3)})
         return gc
 
     say(f"tuning on {jax.devices()[0].device_kind} "
@@ -122,7 +122,7 @@ def autotune(m: int = 512, groups: int = SYNTH_G, chunks: int = 8,
                          cand["col_unroll"])
             if gc is not None and gc > best_gc:
                 best, best_gc = cand, gc
-    return {**best, "gcells": round(best_gc, 1),
+    return {**best, "gcells": round(best_gc, 3),
             "device": jax.devices()[0].device_kind,
             "results": [{"u_rows": c[0], "group_block": c[1],
                          "col_unroll": c[2],
