@@ -65,7 +65,11 @@ def run_parity(n: int = 4096, lmax: int = 700, seed: int = 7,
         eng = SearchEngine(db, SearchConfig(matrix=matrix, open_gap=og,
                                             extend_gap=eg))
         sm = get_submat(matrix)
-        for qlen in (64, 512, 5478):
+        # 64/512: exact pad multiples (branch-free kernel variant); 65:
+        # one row past the quantum — certifies the dummy-row-block SKIP
+        # program on hardware (15 of 16 row blocks in its pad class are
+        # padding); 5478: titin-scale, multi-row-block carry + skip
+        for qlen in (64, 65, 512, 5478):
             q = rng.integers(0, 23, size=qlen).astype(np.int8)
             t0 = time.perf_counter()
             got = np.asarray(eng.score_all(q))[np.asarray(eng.valid)]
