@@ -12,12 +12,20 @@ against the reference's best published number, 179 GCUPS for the hybrid
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 import jax
+
+# honor JAX_PLATFORMS even when a sitecustomize imported jax before this
+# process's environment was applied (e.g. JAX_PLATFORMS=cpu
+# XLA_FLAGS=--xla_force_host_platform_device_count=8 for a virtual-mesh
+# --devices run without TPU hardware)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from oswald_tpu.io import pack_sequences
 from oswald_tpu.engine import SearchEngine, SearchConfig
