@@ -374,8 +374,8 @@ def cmd_tune(args):
     else:
         print(f"best geometry on {out['device']}: "
               f"--u-rows {out['u_rows']} --group-block {out['group_block']}"
-              f" ({out['gcells']} Gcells/s; col_unroll "
-              f"{out['col_unroll']} via SearchConfig)")
+              f" --col-unroll {out['col_unroll']} "
+              f"({out['gcells']} Gcells/s)")
     return 0
 
 

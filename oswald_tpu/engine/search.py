@@ -780,9 +780,14 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True):
         # first sight — the ladder is logarithmic and converges after a
         # few requests.
         b_pads = set()
+        # the split-forcer must be sized against the PACK cap, not
+        # max_query_len: qf + q_cap must exceed the bin budget so
+        # mixed_pack_plan puts them in separate bins (compiling the
+        # 1-query pack rungs); truncating to max_query_len let them share
+        # one bin and left those rungs cold
         cap_rows = max(engine.config.batch_query_pack_rows,
                        engine.config.u_rows)
-        q_cap = np.full(min(cap_rows, max_query_len), DUMMY, np.int8)
+        q_cap = np.full(cap_rows, DUMMY, np.int8)
         m = 1
         while True:
             m_pad = pad_query(np.zeros(m, np.int8), engine.config,

@@ -104,13 +104,25 @@ class SearchService:
             t0 = time.perf_counter()
             try:
                 results = self.engine.search_many(queries, titles)
-            except Exception:               # noqa: BLE001 - isolate the
+            except Exception as batch_exc:  # noqa: BLE001 - isolate the
                 # offender: retry each coalesced request individually so
                 # one pathological query doesn't fail its batch-mates
-                # (each gets its OWN exception instance, not a shared one)
+                # (each gets its OWN exception instance, not a shared
+                # one).  A single-request batch has no mates — don't
+                # re-run its identical failing search.
                 for p in batch:
+                    if len(batch) == 1:
+                        p.error = batch_exc
+                        p.done.set()
+                        break
+                    t1 = time.perf_counter()
                     try:
                         p.results = self.engine.search_many(p.enc, p.titles)
+                        with self.lock:     # retries still count as work
+                            self.n_dispatches += 1
+                            self.cells += sum(len(q) for q in p.enc) \
+                                * self.db.n_residues
+                            self.busy_s += time.perf_counter() - t1
                     except Exception as e:  # noqa: BLE001
                         p.error = e
                     p.done.set()

@@ -107,6 +107,11 @@ def autotune(m: int = 512, groups: int = SYNTH_G, chunks: int = 8,
         results.append({"cfg": key, "gcells": round(gc, 3)})
         return gc
 
+    if m % best["u_rows"] or groups % best["group_block"]:
+        raise ValueError(
+            f"m={m} must be a multiple of u_rows {best['u_rows']} and "
+            f"groups={groups} of group_block {best['group_block']} (the "
+            "baseline geometry must be measurable)")
     say(f"tuning on {jax.devices()[0].device_kind} "
         f"(m={m}, G={groups}, C={chunks})")
     best_gc = try_cfg(best["u_rows"], best["group_block"],
@@ -122,6 +127,10 @@ def autotune(m: int = 512, groups: int = SYNTH_G, chunks: int = 8,
                          cand["col_unroll"])
             if gc is not None and gc > best_gc:
                 best, best_gc = cand, gc
+    if not any("error" not in r for r in results):
+        raise RuntimeError(
+            "no tuning candidate ran successfully; see the per-candidate "
+            "errors in the log")
     return {**best, "gcells": round(best_gc, 3),
             "device": jax.devices()[0].device_kind,
             "results": [{"u_rows": c[0], "group_block": c[1],

@@ -93,8 +93,10 @@ def main():
         if eng.mode == "precompute" and q_pad.shape[0] <= 128:
             f = eng._search_fn(k)
             stacks = (eng.prof_flat, eng.tail_flat)
-            args_f = (q_pad, eng.gaps, eng.submat_dev, stacks, eng.valid,
-                      eng.lnl)
+            # nb=None: these qlens fill their pad class (branch-free
+            # kernel variant; see sw_chunk n_blocks)
+            args_f = (q_pad, None, eng.gaps, eng.submat_dev, stacks,
+                      eng.valid, eng.lnl)
             np.asarray(f(*args_f))
             t_disp = t_min(lambda: f(*args_f))                  # dispatch
             t_full = t_min(lambda: np.asarray(f(*args_f)))
@@ -114,21 +116,21 @@ def main():
     stacks = (eng.prof_flat, eng.tail_flat)
 
     def pipelined():
-        outs = [f(jnp.asarray(eng._pad_query(q)), eng.gaps, eng.submat_dev,
-                  stacks, eng.valid, eng.lnl) for q in qs]
+        outs = [f(jnp.asarray(eng._pad_query(q)), None, eng.gaps,
+                  eng.submat_dev, stacks, eng.valid, eng.lnl) for q in qs]
         return [np.asarray(o) for o in outs]
 
     def serial():
-        return [np.asarray(f(jnp.asarray(eng._pad_query(q)), eng.gaps,
-                             eng.submat_dev, stacks, eng.valid, eng.lnl))
-                for q in qs]
+        return [np.asarray(f(jnp.asarray(eng._pad_query(q)), None,
+                             eng.gaps, eng.submat_dev, stacks, eng.valid,
+                             eng.lnl)) for q in qs]
 
     def threaded():
         # dispatch all, then drain with CONCURRENT readbacks: does the
         # tunnel multiplex transfers, or are RTTs serial either way?
         from concurrent.futures import ThreadPoolExecutor
-        outs = [f(jnp.asarray(eng._pad_query(q)), eng.gaps, eng.submat_dev,
-                  stacks, eng.valid, eng.lnl) for q in qs]
+        outs = [f(jnp.asarray(eng._pad_query(q)), None, eng.gaps,
+                  eng.submat_dev, stacks, eng.valid, eng.lnl) for q in qs]
         with ThreadPoolExecutor(8) as ex:
             return list(ex.map(np.asarray, outs))
 
