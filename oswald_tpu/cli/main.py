@@ -116,6 +116,11 @@ def build_parser():
                     help="out-of-core build (bounded host memory) for "
                          "databases larger than RAM; auto-enabled for "
                          "FASTA files over 2 GiB")
+    pp.add_argument("--from-oswald", action="store_true",
+                    help="INPUT is the base path of a database "
+                         "preprocessed by the reference OSWALD "
+                         "(<input>.desc/.info/.seq) instead of FASTA — "
+                         "migrate without re-preprocessing")
 
     sp = sub.add_parser("search", help="search a packed database")
     _add_search_args(sp)
@@ -200,6 +205,12 @@ def cmd_serve(args):
 def cmd_preprocess(args):
     import os
     with _user_errors():
+        if args.from_oswald:
+            from oswald_tpu.io.db import import_reference_db, save_db
+            db = import_reference_db(args.input)
+            save_db(db, args.output)
+            print(f"oswald-tpu preprocess: wrote {args.output}.oswt")
+            return 0
         streaming = args.streaming or (
             os.path.exists(args.input) and
             os.path.getsize(args.input) > 2 << 30)

@@ -333,6 +333,53 @@ def preprocess_db(fasta_path: str, out_path: str, verbose: bool = True):
     return db
 
 
+def import_reference_db(base: str, verbose: bool = True) -> PackedDB:
+    """Import a database preprocessed by the REFERENCE (OSWALD's
+    `.desc`/`.info`/`.seq` triple) into a PackedDB — the migration path
+    for a user switching tools without re-running preprocess on the raw
+    FASTA.
+
+    Format (what /root/reference/host/src/sequences.c:126-208 writes):
+      base.info   text: "<count> <residues> <max_title_len>"
+      base.desc   one title line per sequence, length-ascending order
+      base.seq    binary: uint16 lengths[count], then int8 residues
+                  (codes 0..22, dummy 23 — BIT-IDENTICAL to this
+                  package's alphabet, sequences.c:164-175 vs alphabet.py)
+    """
+    t0 = time.perf_counter()
+    with open(base + ".info") as f:
+        parts = f.read().split()
+    if len(parts) < 2:
+        raise ValueError(f"{base}.info: expected 'count residues "
+                         f"[max_title_len]', got {parts!r}")
+    count, D = int(parts[0]), int(parts[1])
+    with open(base + ".desc", "r", errors="replace") as f:
+        titles = [line.rstrip("\n") for line in f][:count]
+    if len(titles) != count:
+        raise ValueError(
+            f"{base}.desc holds {len(titles)} titles but {base}.info "
+            f"declares {count} sequences")
+    with open(base + ".seq", "rb") as f:
+        lengths = np.fromfile(f, dtype=np.uint16, count=count) \
+            .astype(np.int64)
+        seqs_flat = np.fromfile(f, dtype=np.int8, count=D)
+    if int(lengths.sum()) != D or seqs_flat.size != D:
+        raise ValueError(
+            f"{base}.seq is inconsistent with {base}.info: lengths sum "
+            f"{int(lengths.sum())}, residues read {seqs_flat.size}, "
+            f"declared {D}")
+    if seqs_flat.size and (seqs_flat.min() < 0 or seqs_flat.max() > DUMMY):
+        raise ValueError(
+            f"{base}.seq residue codes outside 0..{DUMMY} — not a "
+            "preprocessed OSWALD database?")
+    db = pack_sequences(seqs_flat, lengths, titles)
+    if verbose:
+        print(f"oswald-tpu import: {db.n_seqs} sequences "
+              f"({db.n_residues} residues) from the reference format "
+              f"{base}.desc/.info/.seq in {time.perf_counter() - t0:.2f}s")
+    return db
+
+
 def save_db(db: PackedDB, out_path: str):
     d = out_path + ".oswt"
     os.makedirs(d, exist_ok=True)

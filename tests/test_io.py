@@ -248,3 +248,68 @@ def test_parser_differential_fuzz(rng):
                                       err_msg=f"trial {trial}")
         np.testing.assert_array_equal(np.asarray(nf), np.asarray(rf),
                                       err_msg=f"trial {trial}")
+
+
+def _write_reference_db(base, seqs, titles):
+    """Write OSWALD's .desc/.info/.seq triple exactly as the reference's
+    preprocess_db does (sequences.c:126-208): titles one per line,
+    info text "count D max_title_len", .seq = u16 lengths then encoded
+    residues.  Records must already be length-ascending (the reference
+    sorts before writing)."""
+    lengths = np.array([len(s) for s in seqs], np.uint16)
+    D = int(lengths.sum())
+    with open(base + ".desc", "w") as f:
+        for t in titles:
+            f.write(t + "\n")
+    with open(base + ".info", "w") as f:
+        f.write(f"{len(seqs)} {D} {max(len(t) for t in titles)}")
+    with open(base + ".seq", "wb") as f:
+        lengths.tofile(f)
+        np.concatenate(seqs).astype(np.int8).tofile(f)
+
+
+def test_import_reference_db(tmp_path, rng):
+    """A database preprocessed by the REFERENCE imports bit-exactly: same
+    packed db (hence identical search results) as packing the same data
+    directly; the CLI --from-oswald path writes a loadable .oswt."""
+    from oswald_tpu.io.db import import_reference_db, load_db
+    from oswald_tpu.engine import SearchEngine, SearchConfig
+    n = 300
+    lengths = np.sort(rng.integers(5, 180, size=n))    # reference order
+    seqs = [random_protein(rng, int(l)) for l in lengths]
+    titles = [f"ref{i} some description" for i in range(n)]
+    base = str(tmp_path / "refdb")
+    _write_reference_db(base, seqs, titles)
+
+    db = import_reference_db(base, verbose=False)
+    want = pack_sequences(np.concatenate(seqs), lengths, titles)
+    assert db.n_seqs == want.n_seqs and db.n_residues == want.n_residues
+    assert db.bin_lengths == want.bin_lengths
+    for L in db.bin_lengths:
+        np.testing.assert_array_equal(db.bins[L]["seq"], want.bins[L]["seq"])
+        np.testing.assert_array_equal(db.bins[L]["id"], want.bins[L]["id"])
+    assert db.titles == want.titles
+
+    q = seqs[123]
+    r_imp = SearchEngine(db, SearchConfig(top=3)).search(q)
+    r_ref = SearchEngine(want, SearchConfig(top=3)).search(q)
+    np.testing.assert_array_equal(r_imp.scores, r_ref.scores)
+    assert r_imp.titles == r_ref.titles
+    assert r_imp.titles[0] == "ref123 some description"
+
+    # CLI migration path end to end
+    from oswald_tpu.cli.main import main as cli_main
+    out = str(tmp_path / "migrated")
+    assert cli_main(["preprocess", "-i", base, "-o", out,
+                     "--from-oswald"]) == 0
+    db2 = load_db(out)
+    assert db2.n_seqs == n and db2.titles == titles
+
+    # corrupt inputs are user errors, not tracebacks
+    import pytest
+    with open(base + ".info", "w") as f:
+        f.write(f"{n} {int(lengths.sum()) + 7} 40")    # wrong residue count
+    with pytest.raises(ValueError, match="inconsistent"):
+        import_reference_db(base, verbose=False)
+    assert cli_main(["preprocess", "-i", base, "-o", out,
+                     "--from-oswald"]) == 2
