@@ -280,3 +280,46 @@ def test_cli_serve_parser():
         ["serve", "-d", "x.oswt", "-r", "20", "--port", "0",
          "--warmup-qlen", "0"])
     assert args.op == "serve" and args.top == 20 and args.warmup_qlen == 0
+
+
+def test_serve_stress_mixed_concurrency(server):
+    """30 requests from 6 concurrent client threads with mixed payload
+    shapes (single, multi-query, fasta, with/without align): every reply
+    correct, queue drained, counters consistent — the micro-batcher's
+    soak test."""
+    base, service, engine, seqs = server
+    req0, q0 = service.n_requests, service.n_queries
+    errors = []
+    lock = threading.Lock()
+
+    def client(ci):
+        rng = np.random.default_rng(ci)
+        for r in range(5):
+            qi = int(rng.integers(0, len(seqs)))
+            kind = (ci + r) % 3
+            if kind == 0:
+                payload = {"query": _to_str(seqs[qi])}
+            elif kind == 1:
+                payload = {"queries": [_to_str(seqs[qi]),
+                                       _to_str(seqs[(qi + 1) % len(seqs)])]}
+            else:
+                payload = {"fasta": f">x{qi}\n{_to_str(seqs[qi])}\n"}
+            code, out = _post(base + "/search", payload)
+            ok = (code == 200 and
+                  out["results"][0]["hits"][0]["title"] == f"srv{qi}")
+            if not ok:
+                with lock:
+                    errors.append((ci, r, code, out))
+
+    threads = [threading.Thread(target=client, args=(ci,))
+               for ci in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors[:3]
+    assert service.n_requests == req0 + 30
+    # 10 of the 30 requests carried two queries
+    assert service.n_queries == q0 + 40
+    with service._cv:
+        assert not service._queue            # fully drained
