@@ -332,9 +332,105 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
     return ThreadingHTTPServer((host, port), _make_handler(service))
 
 
+# --- pod (multi-process SPMD) serving -------------------------------------
+#
+# A DistributedSearchEngine's programs are SPMD collectives: EVERY process
+# of the mesh must enter the same search_many with the same queries, or
+# the mesh deadlocks.  Only rank 0 talks HTTP; it broadcasts each engine
+# dispatch (the micro-batcher's coalesced batch) to the other ranks, which
+# run a mirror loop.  The transport is a fixed-size
+# multihost_utils.broadcast_one_to_all buffer — the broadcast is itself a
+# collective, so a blocked worker IS the synchronisation.
+
+POD_BUF_BYTES = 4 << 20         # encoded-batch ceiling per dispatch
+_POD_OP_SEARCH = 1
+_POD_OP_SHUTDOWN = 2
+
+
+def _pod_encode(enc) -> np.ndarray:
+    """[op, n, len_0..n-1 (int32 as 4xint8), residues...] in int8[BUF]."""
+    lens = np.asarray([len(q) for q in enc], np.int32)
+    payload = np.concatenate([np.asarray(q, np.int8) for q in enc]) \
+        if enc else np.zeros(0, np.int8)
+    head = np.concatenate([np.asarray([_POD_OP_SEARCH, len(enc)], np.int32),
+                           lens]).view(np.int8)
+    total = head.size + payload.size
+    if total > POD_BUF_BYTES:
+        raise ValueError(
+            f"batch of {int(lens.sum())} query residues exceeds the pod "
+            f"broadcast buffer ({POD_BUF_BYTES >> 20} MiB)")
+    buf = np.zeros(POD_BUF_BYTES, np.int8)
+    buf[:head.size] = head
+    buf[head.size:total] = payload
+    return buf
+
+
+def _pod_decode(buf: np.ndarray):
+    """Inverse of _pod_encode; returns (op, [queries])."""
+    head = np.asarray(buf[:8], np.int8).view(np.int32)
+    op, n = int(head[0]), int(head[1])
+    if op != _POD_OP_SEARCH:
+        return op, []
+    lens = np.asarray(buf[8:8 + 4 * n], np.int8).view(np.int32)
+    out, off = [], 8 + 4 * n
+    for l in lens:
+        out.append(np.asarray(buf[off:off + int(l)], np.int8).copy())
+        off += int(l)
+    return op, out
+
+
+def _pod_broadcast(buf: np.ndarray) -> np.ndarray:
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.broadcast_one_to_all(buf))
+
+
+class _PodBroadcastEngine:
+    """Rank-0 engine proxy: every search_many first broadcasts the batch
+    so worker ranks enter the same SPMD programs (everything else —
+    config, align, db metadata — proxies through)."""
+
+    def __init__(self, engine):
+        self._engine = engine
+
+    def __getattr__(self, name):
+        return getattr(self._engine, name)
+
+    def search_many(self, queries, titles=None, batch: bool = True):
+        _pod_broadcast(_pod_encode(queries))
+        return self._engine.search_many(queries, titles, batch)
+
+
+def pod_worker_loop(engine) -> int:
+    """Non-zero-rank mirror loop: block on the broadcast collective, run
+    the same search_many rank 0 runs (results discarded — the collectives
+    inside are the point), exit on the shutdown opcode."""
+    zeros = np.zeros(POD_BUF_BYTES, np.int8)
+    served = 0
+    while True:
+        op, queries = _pod_decode(_pod_broadcast(zeros))
+        if op == _POD_OP_SHUTDOWN:
+            return served
+        self_results = engine.search_many(queries)  # noqa: F841 - SPMD
+        served += len(queries)
+
+
+def pod_shutdown_broadcast():
+    """Rank 0: release the workers (pairs with their blocked broadcast)."""
+    buf = np.zeros(POD_BUF_BYTES, np.int8)
+    buf[:8] = np.asarray([_POD_OP_SHUTDOWN, 0], np.int32).view(np.int8)
+    _pod_broadcast(buf)
+
+
 def serve_forever(db, engine, host: str, port: int,
                   warmup_qlen: int | None = 512):
-    """CLI entry: warm the compile cache, bind, serve until interrupted."""
+    """CLI entry: warm the compile cache, bind, serve until interrupted.
+
+    Multi-process (pod) runs: every process calls this with the same
+    arguments after `dist.bootstrap()`; rank 0 serves HTTP and broadcasts
+    each dispatch, the rest mirror it (see the pod section above)."""
+    import jax
+    if jax.process_count() > 1:
+        return _serve_forever_pod(db, engine, host, port, warmup_qlen)
     service = SearchService(db, engine)
     if warmup_qlen:
         t0 = time.perf_counter()
@@ -352,4 +448,39 @@ def serve_forever(db, engine, host: str, port: int,
     finally:
         httpd.server_close()
         service.close()
+    return 0
+
+
+def _serve_forever_pod(db, engine, host: str, port: int,
+                       warmup_qlen: int | None):
+    """SPMD serving over a multi-process mesh: rank 0 = HTTP + broadcast,
+    ranks 1.. = mirror loop.  Warmup is itself collective, so every rank
+    runs it identically before the loop."""
+    import jax
+    rank = jax.process_index()
+    if warmup_qlen:
+        t0 = time.perf_counter()
+        pads = engine.warmup(warmup_qlen)
+        if rank == 0:
+            print(f"warmup: compiled query pads {pads} "
+                  f"in {time.perf_counter() - t0:.1f}s")
+    if rank != 0:
+        n = pod_worker_loop(engine)
+        print(f"oswald-tpu pod worker rank {rank}: exiting after "
+              f"{n} queries", flush=True)
+        return 0
+    service = SearchService(db, _PodBroadcastEngine(engine))
+    httpd = make_server(service, host, port)
+    addr = httpd.server_address
+    print(f"oswald-tpu serving {db.n_seqs} sequences on "
+          f"http://{addr[0]}:{addr[1]} "
+          f"[pod: {jax.process_count()} processes]", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+        service.close()          # drains pending requests (broadcasting)
+        pod_shutdown_broadcast()  # then releases the worker ranks
     return 0

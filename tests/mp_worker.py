@@ -88,6 +88,24 @@ def main():
         assert np.array_equal(np.asarray(r_hs.seq_ids),
                               np.asarray(r_ref.seq_ids))
 
+    # pod-serving broadcast protocol (serve._serve_forever_pod's core):
+    # rank 0 dispatches through the broadcast proxy, rank 1 mirrors in
+    # pod_worker_loop — the SPMD programs must line up and the results
+    # must equal the direct mesh results computed above
+    from oswald_tpu.serve import (_PodBroadcastEngine, pod_worker_loop,
+                                  pod_shutdown_broadcast)
+    if rank == 0:
+        proxy = _PodBroadcastEngine(eng)
+        rp = proxy.search_many([q1, q2], batch=True)
+        assert np.array_equal(rp[0].scores, r1.scores), "pod q1"
+        assert np.array_equal(rp[1].scores, rb[1].scores), "pod q2"
+        rs = proxy.search_many([q2], batch=True)     # second dispatch
+        assert np.array_equal(rs[0].scores, rb[1].scores), "pod q2 solo"
+        pod_shutdown_broadcast()
+    else:
+        served = pod_worker_loop(eng)
+        assert served == 3, served
+
     with open(out_path, "w") as f:
         json.dump({
             "rank": rank,
