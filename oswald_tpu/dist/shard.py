@@ -788,13 +788,16 @@ class DistributedSearchEngine:
         self._bin_fns[key] = fn
         return fn
 
-    def warmup(self, max_query_len: int = 512, batch: bool = True):
+    def warmup(self, max_query_len: int = 512, batch: bool = True,
+               log=None):
         """Precompile every (bin, padded-query-shape) program for queries
-        up to max_query_len, single-query AND 2-query batched — same
-        serving-deployment contract as SearchEngine.warmup (shared
-        warmup_engine).  Returns the padded lengths compiled."""
+        up to max_query_len, in both kernel variants plus the common pack
+        rungs — same serving-deployment contract as SearchEngine.warmup
+        (shared warmup_engine).  Multi-process note: warmup is SPMD
+        (collective programs), so every rank must call it identically.
+        Returns the padded lengths compiled."""
         from oswald_tpu.engine.search import warmup_engine
-        return warmup_engine(self, max_query_len, batch)
+        return warmup_engine(self, max_query_len, batch, log)
 
     def align(self, query, result: SearchResult):
         """Gapped alignments for a SearchResult's hits (host post-pass;

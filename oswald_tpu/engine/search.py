@@ -742,7 +742,8 @@ def mixed_pack_plan(pack_rows: int, u_rows: int, queries,
     return out, rest
 
 
-def warmup_engine(engine, max_query_len: int = 512, batch: bool = True):
+def warmup_engine(engine, max_query_len: int = 512, batch: bool = True,
+                  log=None):
     """Shared warmup for both engines: precompile every (bin, padded-query)
     program for queries up to max_query_len — in BOTH kernel variants
     (dummy-block skip and branch-free full-class, see sw_chunk n_blocks)
@@ -750,8 +751,20 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True):
     pad class (1-query and 2-query packs, both variants).  Larger bursts
     whose pack rung wasn't warmed still compile their own (m_tot, S)
     program on first sight — the ladder is logarithmic, so a serving
-    deployment converges after a handful of requests.  Returns the single-
+    deployment converges after a handful of requests.
+
+    A FULLY COLD compile cache pays ~20-40 s per program through a
+    remote compile service, so a first-ever warmup at the default
+    max_query_len can take tens of minutes (measured 22 min on the v5e
+    rig; persistent-cache restarts take seconds).  `log` gets one line
+    per step so the startup is visibly progressing.  Returns the single-
     query padded lengths compiled."""
+    t_start = time.perf_counter()
+
+    def say(msg):
+        if log:
+            log(f"warmup [{time.perf_counter() - t_start:5.0f}s] {msg}")
+
     m_pads = []
     m = 1
     while True:
@@ -763,8 +776,10 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True):
             # full class length (compiles the branch-free nb=None variant
             # — a query that exactly fills its class selects a DIFFERENT
             # program, and warming only one leaves the other cold)
+            say(f"single-query pad class {m_pad} (skip variant)")
             engine.search(np.full(min(m, max_query_len), DUMMY, np.int8))
             if m_pad <= max_query_len and m_pad != m:
+                say(f"single-query pad class {m_pad} (branch-free)")
                 engine.search(np.full(m_pad, DUMMY, np.int8))
         if m_pad >= max_query_len:
             break
@@ -796,9 +811,11 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True):
                 b_pads.add(m_pad)
                 qb = np.full(min(m, max_query_len), DUMMY, np.int8)
                 qf = np.full(min(m_pad, max_query_len), DUMMY, np.int8)
+                say(f"batch pad class {m_pad}: 2-query pack rungs")
                 engine.search_many([qf, qf])
                 if m != m_pad:
                     engine.search_many([qb, qb])
+                say(f"batch pad class {m_pad}: 1-query pack rungs")
                 engine.search_many([qf, q_cap])
             if m_pad >= max_query_len:
                 break
@@ -1221,13 +1238,14 @@ class SearchEngine:
             results.append(self._finish(pending))
         return results
 
-    def warmup(self, max_query_len: int = 512, batch: bool = True):
+    def warmup(self, max_query_len: int = 512, batch: bool = True,
+               log=None):
         """Precompile every (bin, padded-query-shape) program for queries up
-        to max_query_len, single-query AND 2-query batched (see
-        warmup_engine) — a serving deployment calls this once so the first
-        real query doesn't pay XLA compilation.  Returns the list of
-        padded lengths compiled."""
-        return warmup_engine(self, max_query_len, batch)
+        to max_query_len, in both kernel variants plus the common pack
+        rungs (see warmup_engine) — a serving deployment calls this once
+        so the first real query doesn't pay XLA compilation.  Returns the
+        list of padded lengths compiled."""
+        return warmup_engine(self, max_query_len, batch, log)
 
     def align(self, query, result: SearchResult):
         """Gapped alignments (traceback) for a SearchResult's hits — a

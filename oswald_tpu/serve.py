@@ -434,7 +434,8 @@ def serve_forever(db, engine, host: str, port: int,
     service = SearchService(db, engine)
     if warmup_qlen:
         t0 = time.perf_counter()
-        pads = engine.warmup(warmup_qlen)
+        pads = engine.warmup(warmup_qlen,
+                             log=lambda s: print(s, flush=True))
         print(f"warmup: compiled query pads {pads} "
               f"in {time.perf_counter() - t0:.1f}s")
     httpd = make_server(service, host, port)
@@ -460,7 +461,9 @@ def _serve_forever_pod(db, engine, host: str, port: int,
     rank = jax.process_index()
     if warmup_qlen:
         t0 = time.perf_counter()
-        pads = engine.warmup(warmup_qlen)
+        pads = engine.warmup(
+            warmup_qlen,
+            log=(lambda s: print(s, flush=True)) if rank == 0 else None)
         if rank == 0:
             print(f"warmup: compiled query pads {pads} "
                   f"in {time.perf_counter() - t0:.1f}s")
