@@ -20,12 +20,14 @@ import numpy as np
 
 import jax
 
-# honor JAX_PLATFORMS even when a sitecustomize imported jax before this
-# process's environment was applied (e.g. JAX_PLATFORMS=cpu
+# honor an explicit JAX_PLATFORMS=cpu even when a sitecustomize imported
+# jax before this process's environment was applied (e.g. JAX_PLATFORMS=cpu
 # XLA_FLAGS=--xla_force_host_platform_device_count=8 for a virtual-mesh
-# --devices run without TPU hardware)
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# --devices run without TPU hardware).  ONLY cpu: constraining to the
+# accelerator platform (some environments export JAX_PLATFORMS=axon) would
+# hide the host cpu backend the parity oracle runs on.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 from oswald_tpu.io import pack_sequences
 from oswald_tpu.engine import SearchEngine, SearchConfig
