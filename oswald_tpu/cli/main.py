@@ -211,9 +211,15 @@ def cmd_preprocess(args):
             save_db(db, args.output)
             print(f"oswald-tpu preprocess: wrote {args.output}.oswt")
             return 0
-        streaming = args.streaming or (
-            os.path.exists(args.input) and
-            os.path.getsize(args.input) > 2 << 30)
+        size = os.path.getsize(args.input) \
+            if os.path.exists(args.input) else 0
+        if size:
+            with open(args.input, "rb") as fh:
+                head = fh.read(6)
+            if head[:2] == b"\x1f\x8b" or head[:3] == b"BZh" \
+                    or head[:6] == b"\xfd7zXZ\x00":
+                size *= 4      # compressed: judge by ~decompressed size
+        streaming = args.streaming or size > 2 << 30
         if streaming:
             from oswald_tpu.io.stream import preprocess_db_streaming
             preprocess_db_streaming(args.input, args.output)

@@ -107,14 +107,50 @@ def _ragged_arange(lens):
     return out - offs
 
 
+# compressed-input sniffing: real protein databases ship compressed
+# (uniprot_sprot.fasta.gz et al.); the reference requires pre-decompressed
+# input (/root/reference/host/src/sequences.c:21 fopen "r").  Detection is
+# by magic bytes, not extension, so renamed files still work.
+_MAGICS = (
+    (b"\x1f\x8b", "gzip"),
+    (b"BZh", "bz2"),
+    (b"\xfd7zXZ\x00", "lzma"),
+)
+
+
+def open_maybe_compressed(path: str):
+    """Open a file for binary reading, transparently decompressing
+    gzip/bzip2/xz by magic-byte sniffing.  Returns a binary file object
+    (supports read/readinto)."""
+    f = open(path, "rb")
+    try:
+        head = f.read(6)
+        f.seek(0)
+    except OSError:
+        return f                      # unseekable: treat as plain
+    for magic, mod in _MAGICS:
+        if head.startswith(magic):
+            f.close()
+            if mod == "gzip":
+                import gzip
+                return gzip.open(path, "rb")
+            if mod == "bz2":
+                import bz2
+                return bz2.open(path, "rb")
+            import lzma
+            return lzma.open(path, "rb")
+    return f
+
+
 def parse_fasta(path: str, use_native: bool | None = None):
     """Parse a FASTA file; see parse_fasta_bytes.
 
     Uses the native C++ scanner (oswald_tpu.io.native) when the shared
     library is built, unless use_native=False or OSWALD_NO_NATIVE is set.
+    Compressed input (gzip/bzip2/xz) is decompressed transparently.
     """
     import os as _os
-    with open(path, "rb") as f:
+    with open_maybe_compressed(path) as f:
         data = f.read()
     if use_native is None:
         use_native = not _os.environ.get("OSWALD_NO_NATIVE")

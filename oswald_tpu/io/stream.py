@@ -41,8 +41,10 @@ DEFAULT_BLOCK = 256 * 1024 * 1024
 
 
 def _iter_blocks(path: str, block_bytes: int):
-    """Yield FASTA blocks split at record boundaries ('\\n>')."""
-    with open(path, "rb") as f:
+    """Yield FASTA blocks split at record boundaries ('\\n>').
+    Compressed input (gzip/bzip2/xz) decompresses transparently."""
+    from oswald_tpu.io.fasta import open_maybe_compressed
+    with open_maybe_compressed(path) as f:
         carry = b""
         while True:
             buf = f.read(block_bytes)
@@ -150,9 +152,12 @@ def _iter_blocks_recycled(path: str, block_bytes: int):
         out.put(item)
 
     def reader():
+        from oswald_tpu.io.fasta import open_maybe_compressed
         carry = np.zeros(0, np.uint8)
         try:
-            with open(path, "rb") as f:
+            # gzip/bz2/xz readers support readinto (BufferedIOBase); zlib
+            # releases the GIL, so decompression overlaps the parse too
+            with open_maybe_compressed(path) as f:
                 while True:
                     buf = _get(free)
                     if buf is None:
@@ -454,6 +459,14 @@ def _preprocess_db_streaming(fasta_path, out_path, block_bytes, bin_cost,
     # staging copies. ----
     lengths = []
     fsize = os.path.getsize(fasta_path)
+    # compressed input: the decompressed content exceeds the on-disk size;
+    # scale the arena upper-bound hint (only a sizing hint — overflow
+    # spills to disk correctly either way; protein FASTA gzips ~3-4x)
+    with open(fasta_path, "rb") as _fh:
+        _head = _fh.read(6)
+    if _head[:2] == b"\x1f\x8b" or _head[:3] == b"BZh" \
+            or _head[:6] == b"\xfd7zXZ\x00":
+        fsize *= 4
     # each staging's content is bounded by the FASTA size itself
     stg_titles = _Staging(os.path.join(d, "titles.tmp"),
                           ram_budget_bytes // 4, upper_bytes=fsize)

@@ -313,3 +313,39 @@ def test_import_reference_db(tmp_path, rng):
         import_reference_db(base, verbose=False)
     assert cli_main(["preprocess", "-i", base, "-o", out,
                      "--from-oswald"]) == 2
+
+
+def test_parse_fasta_compressed(tmp_path, rng):
+    """gzip/bz2/xz FASTA decompresses transparently (magic-byte sniffed,
+    so the extension does not matter)."""
+    import gzip, bz2, lzma
+    titles = [f"seq {i}" for i in range(5)]
+    seqs = [random_protein(rng, int(l)) for l in rng.integers(1, 150, 5)]
+    plain = str(tmp_path / "p.fasta")
+    write_fasta(plain, titles, seqs)
+    raw = open(plain, "rb").read()
+    t0, f0, l0 = parse_fasta(plain)
+    for name, comp in [("g.renamed", gzip.compress),
+                       ("b.fa.bz2", bz2.compress),
+                       ("x.fa.xz", lzma.compress)]:
+        p = tmp_path / name
+        p.write_bytes(comp(raw))
+        t, f, l = parse_fasta(str(p))
+        assert t == t0
+        np.testing.assert_array_equal(f, f0)
+        np.testing.assert_array_equal(l, l0)
+
+
+def test_load_queries_gzip(tmp_path, rng):
+    import gzip
+    titles = ["q1", "q2"]
+    seqs = [random_protein(rng, 40), random_protein(rng, 20)]
+    plain = str(tmp_path / "q.fasta")
+    write_fasta(plain, titles, seqs)
+    gz = tmp_path / "q.fasta.gz"
+    gz.write_bytes(gzip.compress(open(plain, "rb").read()))
+    t_p, s_p = load_queries(plain)
+    t_g, s_g = load_queries(str(gz))
+    assert t_p == t_g
+    for a, b in zip(s_p, s_g):
+        np.testing.assert_array_equal(a, b)

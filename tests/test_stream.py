@@ -92,3 +92,15 @@ def test_streaming_empty_file(tmp_path):
     db = preprocess_db_streaming(str(empty), str(tmp_path / "emptydb"),
                                  verbose=False)
     assert db.n_seqs == 0 and db.n_residues == 0
+
+
+def test_streaming_gzip_matches_plain(tmp_path, rng):
+    """Out-of-core preprocess reads compressed FASTA transparently."""
+    import gzip
+    from oswald_tpu.io import load_db
+    p, db_m = _write_db(tmp_path, rng, n=400)
+    gz = tmp_path / "in.fasta.gz"
+    gz.write_bytes(gzip.compress(open(p, "rb").read()))
+    out = preprocess_db_streaming(str(gz), str(tmp_path / "gz"),
+                                  block_bytes=1 << 16, verbose=False)
+    _assert_db_equal(out, db_m)
