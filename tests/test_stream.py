@@ -10,6 +10,27 @@ from oswald_tpu.io.stream import preprocess_db_streaming
 from conftest import random_protein
 
 
+def _write_db(tmp_path, rng, n=400, lmax=200):
+    """Write a random FASTA and return (path, in-memory PackedDB) — the
+    oracle the compressed/streaming paths are compared against."""
+    p = str(tmp_path / "in.fasta")
+    _write_fasta(p, rng, n, lmax)
+    titles, flat, lengths = parse_fasta(p)
+    return p, pack_sequences(flat, lengths, titles)
+
+
+def _assert_db_equal(got, want):
+    assert got.n_seqs == want.n_seqs
+    assert got.n_residues == want.n_residues
+    assert got.titles == want.titles
+    assert got.bin_lengths == want.bin_lengths
+    for L in want.bin_lengths:
+        for k in ("seq", "len", "id"):
+            np.testing.assert_array_equal(
+                np.asarray(got.bins[L][k]), np.asarray(want.bins[L][k]),
+                err_msg=f"bin {L} {k}")
+
+
 def _write_fasta(path, rng, n, lmax):
     seqs = []
     with open(path, "w") as f:
@@ -97,10 +118,42 @@ def test_streaming_empty_file(tmp_path):
 def test_streaming_gzip_matches_plain(tmp_path, rng):
     """Out-of-core preprocess reads compressed FASTA transparently."""
     import gzip
-    from oswald_tpu.io import load_db
     p, db_m = _write_db(tmp_path, rng, n=400)
     gz = tmp_path / "in.fasta.gz"
     gz.write_bytes(gzip.compress(open(p, "rb").read()))
     out = preprocess_db_streaming(str(gz), str(tmp_path / "gz"),
                                   block_bytes=1 << 16, verbose=False)
+    _assert_db_equal(out, db_m)
+
+
+def test_streaming_bzip2_matches_plain(tmp_path, rng):
+    import bz2
+    p, db_m = _write_db(tmp_path, rng, n=350)
+    bz = tmp_path / "in.fasta.bz2"
+    bz.write_bytes(bz2.compress(open(p, "rb").read()))
+    out = preprocess_db_streaming(str(bz), str(tmp_path / "bz"),
+                                  block_bytes=1 << 16, verbose=False)
+    _assert_db_equal(out, db_m)
+
+
+def test_streaming_xz_matches_plain(tmp_path, rng):
+    import lzma
+    p, db_m = _write_db(tmp_path, rng, n=350)
+    xz = tmp_path / "in.fasta.xz"
+    xz.write_bytes(lzma.compress(open(p, "rb").read()))
+    out = preprocess_db_streaming(str(xz), str(tmp_path / "xz"),
+                                  block_bytes=1 << 16, verbose=False)
+    _assert_db_equal(out, db_m)
+
+
+def test_streaming_gzip_tiny_blocks_spill_path(tmp_path, rng):
+    """Compressed input through 4 KiB blocks AND a forced staging spill
+    (ram_budget_bytes=0) — record-boundary splits + the temp-file path."""
+    import gzip
+    p, db_m = _write_db(tmp_path, rng, n=600, lmax=120)
+    gz = tmp_path / "tiny.fasta.gz"
+    gz.write_bytes(gzip.compress(open(p, "rb").read()))
+    out = preprocess_db_streaming(str(gz), str(tmp_path / "tb"),
+                                  block_bytes=4096, verbose=False,
+                                  ram_budget_bytes=0)
     _assert_db_equal(out, db_m)
