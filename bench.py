@@ -75,7 +75,17 @@ def main():
     p.add_argument("--skip-parity", action="store_true",
                    help="skip the asserting hardware-parity pre-stage "
                         "(iteration only; recorded runs must include it)")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent compiled-program cache "
+                        "(for measuring cold-compile costs)")
     args = p.parse_args()
+
+    if not args.no_compile_cache:
+        # the persistent compile cache is part of the deployment story the
+        # bench certifies: a warmed cache makes the parity gate and setup
+        # reflect a restarted deployment, not a first-ever install
+        from oswald_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"

@@ -62,11 +62,33 @@ def _add_engine_args(sp):
     sp.add_argument("--hbm-budget-mb", type=int, default=None,
                     help="override the planner's device-memory budget "
                          "(MiB); mainly for testing the mode selection")
+    _add_cache_args(sp)
     sp.add_argument("--u-rows", type=int, default=8)
     sp.add_argument("--group-block", type=int, default=2)
     sp.add_argument("--col-unroll", type=int, default=16,
                     help="DP columns per kernel loop iteration (kernel "
                          "geometry; see `oswald-tpu tune`)")
+
+
+def _add_cache_args(sp):
+    """Persistent compiled-program cache flags (the TPU analog of the
+    reference loading its precompiled sw.aocx, utils.c:144-150)."""
+    sp.add_argument("--compile-cache", metavar="DIR", default=None,
+                    help="persistent compiled-program cache directory "
+                         "(default: ~/.cache/oswald-tpu/xla or "
+                         "$OSWALD_TPU_COMPILE_CACHE); compiled XLA "
+                         "programs are reused across processes, so a "
+                         "warmed deployment restarts in seconds instead "
+                         "of recompiling for minutes")
+    sp.add_argument("--no-compile-cache", action="store_true",
+                    help="disable the persistent compile cache")
+
+
+def _enable_cache(args):
+    if getattr(args, "no_compile_cache", False):
+        return None
+    from oswald_tpu.utils.compile_cache import enable_compile_cache
+    return enable_compile_cache(getattr(args, "compile_cache", None))
 
 
 def _add_search_args(sp):
@@ -153,6 +175,7 @@ def build_parser():
     tn.add_argument("--iters", type=int, default=3)
     tn.add_argument("--json", action="store_true",
                     help="print the full result object as JSON")
+    _add_cache_args(tn)
     return p
 
 
@@ -161,6 +184,7 @@ def _build_engine(args):
     scoring flags, load the database, build the (possibly distributed)
     engine.  Returns (db, engine, n_dev, setup_s)."""
     import jax
+    _enable_cache(args)
     if getattr(args, "distributed", False):
         from oswald_tpu.dist import bootstrap
         bootstrap()
@@ -378,11 +402,16 @@ def cmd_info(args):
         if mem and "bytes_limit" in mem:
             line += f", HBM {mem['bytes_limit'] / 2**30:.1f} GiB"
         print(line)
+    from oswald_tpu.utils.compile_cache import cache_stats
+    st = cache_stats()
+    print(f"Compile cache:\t{st['dir']} ({st['entries']} programs, "
+          f"{st['bytes'] / 2**20:.1f} MiB)")
     return 0
 
 
 def cmd_tune(args):
     import json as _json
+    _enable_cache(args)
     from oswald_tpu.tune import autotune
     out = autotune(m=args.m, groups=args.groups, chunks=args.chunks,
                    iters=args.iters, log=lambda s: print(s, file=sys.stderr))

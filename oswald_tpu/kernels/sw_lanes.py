@@ -110,12 +110,17 @@ def noadj_ok(submat, extend_gap: int) -> bool:
     max(cur', E) which the relaxed recurrence keeps (F opens from cur',
     and cur' includes E).  Hence every optimal score survives.
 
-    Verified empirically: 4000 random pairs (pam30 open 2 / extend 1,
-    where the retired conservative gate `min(submat) + 2*extend >= 0`
-    claimed inexactness) plus six gate-excluded matrix/gap configs over
-    multi-chunk databases — zero mismatches vs the scalar oracle
-    (tests/test_engine.py).  The function is kept (always True) so the
-    classical branch remains reachable for A/B verification.
+    Verified adversarially by machine, not just prose: (1)
+    scripts/noadj_fuzz.py — 4000 random configs (random [24,24] matrices
+    incl. positive-heavy and ±30-range, og/eg in {0..100} incl. both 0)
+    through scalar implementations of BOTH recurrences, zero mismatches;
+    (2) tests/test_adversarial.py — the ACTUAL kernel with random
+    matrices, og=0/eg=0, noadj on/off A/B vs the classical oracle, in CI;
+    (3) tests/test_engine.py — 4000 random pairs on pam30 2/1 (where the
+    retired conservative gate `min(submat) + 2*extend >= 0` claimed
+    inexactness) plus six gate-excluded configs over multi-chunk
+    databases.  The function is kept (always True) so the classical
+    branch remains reachable for A/B verification.
     """
     return True
 
