@@ -62,6 +62,12 @@ def _add_engine_args(sp):
     sp.add_argument("--hbm-budget-mb", type=int, default=None,
                     help="override the planner's device-memory budget "
                          "(MiB); mainly for testing the mode selection")
+    sp.add_argument("--max-query-len", type=int, default=5478,
+                    help="longest accepted query (default: 5478, titin — "
+                         "the reference's own cap); the memory planner "
+                         "budgets worst-case scan state for it, so "
+                         "lowering it lets larger databases stay fully "
+                         "HBM-resident; longer queries are rejected")
     _add_cache_args(sp)
     sp.add_argument("--u-rows", type=int, default=8)
     sp.add_argument("--group-block", type=int, default=2)
@@ -200,6 +206,7 @@ def _build_engine(args):
                            group_block=args.group_block,
                            col_unroll=args.col_unroll,
                            profile_mode=args.profile_mode,
+                           max_query_len=args.max_query_len,
                            hbm_budget_bytes=args.hbm_budget_mb << 20
                            if args.hbm_budget_mb else None)
         n_dev = args.devices if args.devices is not None else \
@@ -263,6 +270,17 @@ def cmd_search(args):
     with _user_errors():
         queries_titles, queries = load_queries(args.query)
     db, engine, n_dev, setup_s = _build_engine(args)
+    with _user_errors():
+        # over-cap queries are user input, not an internal failure: report
+        # them as a friendly exit-2 error before any device work
+        cap = engine.config.max_query_len
+        for t, q in zip(queries_titles, queries):
+            if len(q) > cap:
+                raise ValueError(
+                    f"query '{t}' length {len(q)} exceeds --max-query-len "
+                    f"{cap} (the engine plans device memory for the "
+                    f"configured cap; raise the flag to accept longer "
+                    f"queries)")
 
     import contextlib
     trace_ctx = contextlib.nullcontext()

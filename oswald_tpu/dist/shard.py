@@ -205,7 +205,8 @@ class DistributedSearchEngine:
         self.mode = self.config.profile_mode
         if self.mode == "auto":
             plan = plan_profile_mode(db, self.config.hbm_budget_bytes,
-                                     n_devices=self.ndev)
+                                     n_devices=self.ndev,
+                                     max_query_len=self.config.max_query_len)
             self.mode = plan.mode
             if jax.process_index() == 0:
                 print(f"oswald-tpu dist engine [{self.ndev} devices]: "
@@ -876,6 +877,16 @@ class DistributedSearchEngine:
         queries run as one shard_map program per bin (see
         SearchEngine.search_many)."""
         titles = titles or [f"query{i}" for i in range(len(queries))]
+        # fail fast on over-cap queries BEFORE any device work (the packed
+        # path bypasses pad_query's guard)
+        cap = self.config.max_query_len
+        for i, q in enumerate(queries):
+            if np.asarray(q).size > cap:
+                raise ValueError(
+                    f"query {i} length {np.asarray(q).size} exceeds the "
+                    f"engine's configured max_query_len {cap} — rebuild "
+                    f"with SearchConfig(max_query_len=...) / "
+                    f"--max-query-len")
         if not batch or len(queries) <= 1:
             # unbatched = pipelined single-query stream (search_stream):
             # identical results, readback hidden under the next compute

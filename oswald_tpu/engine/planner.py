@@ -18,15 +18,19 @@ that fits:
                database size — this is the mode for databases larger than
                device memory.
 
-The ladder is strictly ordered by DATABASE size only — query length does
-not move the choice.  Measured on v5e (300k-seq db, scripts/qlen_lab.py,
-round 3): precompute beats stream at EVERY query length, including the
-shortest — qlen 64: 114 vs 23 GCUPS; 512: 288 vs 128; 1024: 323 vs 192 —
-because stream's per-chunk profile gather costs an extra HBM write+read
-of the full 24x profile regardless of m, while the kernel reads the
-precomputed profile once either way.  There is no crossover to plan for;
-short-query throughput is recovered by pipelining (engine.search_stream)
-and packing (sw_chunk q_segs), not residency choice.
+The ladder is ordered by DATABASE residency plus the scan state of the
+WORST query the engine is configured to accept (SearchConfig.
+max_query_len, default titin 5478): a database the planner declares
+resident can never OOM at query time, because queries past the cap are
+rejected up front (engine.pad_query).  Speed never moves the choice:
+measured on v5e (300k-seq db, scripts/qlen_lab.py, round 3) precompute
+beats stream at EVERY query length, including the shortest — qlen 64:
+114 vs 23 GCUPS; 512: 288 vs 128; 1024: 323 vs 192 — because stream's
+per-chunk profile gather costs an extra HBM write+read of the full 24x
+profile regardless of m, while the kernel reads the precomputed profile
+once either way.  There is no crossover to plan for; short-query
+throughput is recovered by pipelining (engine.search_stream) and packing
+(sw_chunk q_segs), not residency choice.
 """
 
 import dataclasses
@@ -40,14 +44,27 @@ DEFAULT_HBM_BYTES = 16 << 30
 # reference reserves the same 0.8 headroom (utils.c:162-168); the rest
 # covers XLA scratch, fragmentation and transient transfers.
 SAFETY_FRACTION = 0.8
-# Scan-state sizing: colH + colE are [G, m_pad, 8, 128] accumulators per
-# bin; the planner budgets for a reference query of this many padded rows
-# (covers typical protein queries; titin-scale queries in a tight-memory
-# deployment should use host_stream explicitly).
-PLAN_QUERY_ROWS = 1024
+# Longest query the engine plans (and budgets scan state) for by default:
+# titin, 5478 residues — the same cap the reference hardwires as its FPGA
+# channel depth (/root/reference/device/sw.cl:5).  Configurable per engine
+# via SearchConfig.max_query_len; queries longer than the configured cap
+# are REJECTED with a clear error instead of risking a query-time OOM
+# (the reference's chunk cap likewise never OOMs by construction,
+# utils.c:162-168).
+MAX_QUERY_LEN_DEFAULT = 5478
 ALPHA_ROWS = 24
 GROUP_LANES = 1024
 ACC_BYTES = 4
+
+
+def padded_query_rows(max_query_len: int) -> int:
+    """Padded row count for a query of this true length — the same
+    adaptive quantum as engine.pad_query (quantum = max(64,
+    2^floor(log2(m))/8)), without importing the engine (which imports
+    this module)."""
+    m = max(int(max_query_len), 1)
+    quantum = max(64, (1 << max(m.bit_length() - 1, 0)) // 8)
+    return -(-m // quantum) * quantum
 
 
 def device_hbm_bytes(device=None) -> int:
@@ -73,14 +90,15 @@ def db_padded_bytes(db) -> int:
     return total
 
 
-def _scan_state_bytes(db, n_devices: int) -> int:
+def _scan_state_bytes(db, n_devices: int, plan_rows: int) -> int:
     """colH + colE for the largest per-device bin share (2 arrays, double
-    counted for XLA's scan in/out copies)."""
+    counted for XLA's scan in/out copies), sized for a plan_rows-row
+    query — the worst case the engine is configured to accept."""
     worst = 0
     for L in db.bin_lengths:
         G = -(-db.bins[L]["seq"].shape[0] // n_devices)
         worst = max(worst, G)
-    return 4 * ACC_BYTES * worst * PLAN_QUERY_ROWS * GROUP_LANES
+    return 4 * ACC_BYTES * worst * plan_rows * GROUP_LANES
 
 
 @dataclasses.dataclass
@@ -90,27 +108,42 @@ class Plan:
     profile_bytes: int        # precompute-mode residency (per device share)
     state_bytes: int          # transient scan-state estimate
     budget_bytes: int         # SAFETY_FRACTION * HBM
+    max_query_len: int = MAX_QUERY_LEN_DEFAULT   # state budgeted for this
 
     def describe(self) -> str:
         gib = 1 << 30
-        return (f"profile_mode={self.mode} (planner: db "
-                f"{self.db_bytes / gib:.2f} GiB packed, profiles "
-                f"{self.profile_bytes / gib:.2f} GiB, scan state "
-                f"{self.state_bytes / gib:.2f} GiB, HBM budget "
-                f"{self.budget_bytes / gib:.2f} GiB)")
+        msg = (f"profile_mode={self.mode} (planner: db "
+               f"{self.db_bytes / gib:.2f} GiB packed, profiles "
+               f"{self.profile_bytes / gib:.2f} GiB, scan state "
+               f"{self.state_bytes / gib:.2f} GiB at max query "
+               f"{self.max_query_len}, HBM budget "
+               f"{self.budget_bytes / gib:.2f} GiB)")
+        if self.mode != "precompute":
+            # the degrade is deliberate and visible: faster residency
+            # does not fit WITH the configured worst-case query's scan
+            # state — a smaller --max-query-len buys residency back
+            msg += (" — degraded from precompute: full residency + "
+                    "worst-case query state exceeds the budget; lower "
+                    "--max-query-len to restore it")
+        return msg
 
 
 def plan_profile_mode(db, hbm_bytes: int | None = None,
-                      n_devices: int = 1) -> Plan:
+                      n_devices: int = 1,
+                      max_query_len: int | None = None) -> Plan:
     """Pick the fastest data mode whose residency fits the HBM budget.
 
     n_devices: the database's group axis shards evenly across the mesh, so
     each device holds a 1/n share (distributed engines pass their mesh
-    size)."""
+    size).  max_query_len: the longest query the engine will accept
+    (SearchConfig.max_query_len); scan state is budgeted for it so a
+    long query can never OOM a database the planner declared resident."""
+    mq = max_query_len if max_query_len is not None else \
+        MAX_QUERY_LEN_DEFAULT
     budget = int(SAFETY_FRACTION * (hbm_bytes if hbm_bytes is not None
                                     else device_hbm_bytes()))
     share = -(-db_padded_bytes(db) // max(n_devices, 1))
-    state = _scan_state_bytes(db, max(n_devices, 1))
+    state = _scan_state_bytes(db, max(n_devices, 1), padded_query_rows(mq))
     prof = ALPHA_ROWS * share
     if prof + state <= budget:
         mode = "precompute"
@@ -119,4 +152,4 @@ def plan_profile_mode(db, hbm_bytes: int | None = None,
     else:
         mode = "host_stream"
     return Plan(mode=mode, db_bytes=share, profile_bytes=prof,
-                state_bytes=state, budget_bytes=budget)
+                state_bytes=state, budget_bytes=budget, max_query_len=mq)

@@ -60,6 +60,15 @@ class SearchConfig:
     # and win on small databases; raise for compile-bound workloads.
     batch_query_pad_quantum: int = 64
     interpret: bool | None = None  # None = auto (True off-TPU)
+    # Longest query the engine accepts.  The HBM planner budgets scan
+    # state (colH/colE scale with padded query rows) for THIS length, so
+    # a database declared resident can never OOM at query time; longer
+    # queries are rejected with a clear error instead (the reference's
+    # hard analog is its FPGA channel depth, CHANNEL_MAX_DEPTH=5478 =
+    # titin, /root/reference/device/sw.cl:5 — the same default here).
+    # Lowering it shrinks the planner's state reserve, letting larger
+    # databases keep full HBM residency.
+    max_query_len: int = 5478
     # Kernel accumulator: "float32" issues ~10% faster than "int32" on the
     # VPU and is exact for SW scores (integers far below 2^24; max possible
     # score ~ 15 * 5478 << 2^24).  Measured v5e: 190 vs 174 GCUPS.
@@ -135,6 +144,11 @@ class SearchConfig:
                     "u_rows)")
         if self.top < 1:
             raise ValueError(f"top must be >= 1, got {self.top!r}")
+        if not (isinstance(self.max_query_len, int) and
+                self.max_query_len >= 1):
+            raise ValueError(
+                f"max_query_len must be a positive int, got "
+                f"{self.max_query_len!r}")
         # reference CLI contract: open gap 0..255, extend gap 0..127
         # (/root/reference/host/src/arguments.c:81-92); the TPU kernel is
         # exact at any width, but accepting values the reference rejects
@@ -760,6 +774,8 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True,
     per step so the startup is visibly progressing.  Returns the single-
     query padded lengths compiled."""
     t_start = time.perf_counter()
+    # never warm past the engine's accepted cap (pad_query rejects longer)
+    max_query_len = min(max_query_len, engine.config.max_query_len)
 
     def say(msg):
         if log:
@@ -850,6 +866,15 @@ def pad_query(query, config: "SearchConfig", for_batch: bool = False):
         raise ValueError(
             "query contains codes outside 0..23 — encode residue strings "
             "with oswald_tpu.encode() first")
+    if q.size > config.max_query_len:
+        # the planner budgeted scan state for max_query_len only; running
+        # a longer query could OOM a resident database mid-search (the
+        # reference hard-caps at its channel depth the same way, sw.cl:5)
+        raise ValueError(
+            f"query length {q.size} exceeds the engine's configured "
+            f"max_query_len {config.max_query_len} — rebuild the engine "
+            f"with SearchConfig(max_query_len=...) / --max-query-len "
+            f"(device memory is planned for the configured cap)")
     if q.size == 0:
         q = np.full(1, DUMMY, np.int32)
     base = config.batch_query_pad_quantum if for_batch else \
@@ -888,7 +913,8 @@ class SearchEngine:
         # the reference's 0.8*global_mem chunk cap, utils.c:162-168)
         self.mode = self.config.profile_mode
         if self.mode == "auto":
-            plan = plan_profile_mode(db, self.config.hbm_budget_bytes)
+            plan = plan_profile_mode(db, self.config.hbm_budget_bytes,
+                                     max_query_len=self.config.max_query_len)
             self.mode = plan.mode
             # stderr: --json runs must keep stdout machine-readable
             print(f"oswald-tpu engine: {plan.describe()}", file=sys.stderr)
@@ -1262,6 +1288,16 @@ class SearchEngine:
         reference's analog is its per-query kernel loop inside one chunk
         round (FPGAsearch.c:204-219)."""
         titles = titles or [f"query{i}" for i in range(len(queries))]
+        # fail fast on over-cap queries BEFORE any device work (the packed
+        # path bypasses pad_query's guard)
+        cap = self.config.max_query_len
+        for i, q in enumerate(queries):
+            if np.asarray(q).size > cap:
+                raise ValueError(
+                    f"query {i} length {np.asarray(q).size} exceeds the "
+                    f"engine's configured max_query_len {cap} — rebuild "
+                    f"with SearchConfig(max_query_len=...) / "
+                    f"--max-query-len")
         if not batch or len(queries) <= 1:
             # unbatched = pipelined single-query stream: identical results
             # to a sequential loop, with each readback hidden under the

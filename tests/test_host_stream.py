@@ -143,6 +143,64 @@ def test_planner_mode_selection(rng):
         n_devices=64).mode == "precompute"
 
 
+def test_planner_budgets_for_configured_max_query(rng):
+    """Long-query safety: the planner sizes scan state from
+    SearchConfig.max_query_len, so a budget that admits precompute for
+    short-query engines degrades (stream -> host_stream) when the engine
+    must also accept titin-scale queries — instead of OOM-ing at query
+    time (the reference's chunk cap never OOMs by construction,
+    utils.c:162-168)."""
+    db = _make_db(rng, 1100, 100)
+    short = plan_profile_mode(db, hbm_bytes=None, max_query_len=64)
+    long = plan_profile_mode(db, hbm_bytes=None, max_query_len=5478)
+    assert long.state_bytes > short.state_bytes * 5   # 5632 vs 64 rows
+    # a budget tailored to JUST fit precompute at the short cap...
+    budget = int((short.profile_bytes + short.state_bytes)
+                 / SAFETY_FRACTION) + 1024
+    assert plan_profile_mode(
+        db, hbm_bytes=budget, max_query_len=64).mode == "precompute"
+    # ...degrades once the engine must accept titin
+    degraded = plan_profile_mode(db, hbm_bytes=budget, max_query_len=5478)
+    assert degraded.mode in ("stream", "host_stream")
+    assert "degraded from precompute" in degraded.describe()
+    # and the engine end-to-end: auto + the same budget + titin cap picks
+    # the degraded mode and still searches correctly
+    eng = SearchEngine(db, SearchConfig(
+        top=5, profile_mode="auto", hbm_budget_bytes=budget,
+        max_query_len=5478, host_stream_slice_mb=1))
+    assert eng.mode == degraded.mode
+    q = random_protein(rng, 30)
+    ref = SearchEngine(db, SearchConfig(top=5, profile_mode="precompute"))
+    np.testing.assert_array_equal(eng.search(q).scores, ref.search(q).scores)
+
+
+def test_over_cap_query_rejected_not_oomed(rng):
+    """Queries past the configured cap are rejected with a clear error on
+    every entry path (search, search_many packed and batched) BEFORE any
+    device work."""
+    import pytest
+    db = _make_db(rng, 600, 80)
+    eng = SearchEngine(db, SearchConfig(top=5, max_query_len=64))
+    ok = random_protein(rng, 64)
+    too_long = random_protein(rng, 65)
+    eng.search(ok)                                     # cap-length fine
+    with pytest.raises(ValueError, match="max_query_len"):
+        eng.search(too_long)
+    with pytest.raises(ValueError, match="max_query_len"):
+        eng.search_many([ok, too_long])
+    with pytest.raises(ValueError, match="max_query_len"):
+        eng.search_many([too_long, too_long, too_long], batch=False)
+    # warmup never tries to compile past the cap
+    pads = eng.warmup(max_query_len=512, batch=False)
+    assert max(pads) <= 64
+    from oswald_tpu.dist import DistributedSearchEngine
+    deng = DistributedSearchEngine(db, SearchConfig(top=5, max_query_len=64))
+    with pytest.raises(ValueError, match="max_query_len"):
+        deng.search(too_long)
+    with pytest.raises(ValueError, match="max_query_len"):
+        deng.search_many([ok, too_long])
+
+
 def test_auto_mode_resolves_and_searches(rng, capsys):
     db = _make_db(rng, 600, 80)
     padded = db_padded_bytes(db)
