@@ -78,6 +78,15 @@ def main():
     p.add_argument("--no-compile-cache", action="store_true",
                    help="disable the persistent compiled-program cache "
                         "(for measuring cold-compile costs)")
+    p.add_argument("--realistic", action="store_true",
+                   help="realistic-composition validation run instead of "
+                        "the headline bench: SwissProt-shaped lengths + "
+                        "Robinson-Robinson residue frequencies through "
+                        "streaming preprocess, precompute and host_stream "
+                        "searches, alignment, and E-value sanity checks "
+                        "(random query => top E ~ O(1); planted homolog "
+                        "=> E << 1); rows to stderr, one summary JSON "
+                        "line to stdout")
     args = p.parse_args()
 
     if not args.no_compile_cache:
@@ -109,6 +118,9 @@ def main():
                               "unit": "GCUPS", "vs_baseline": 0.0,
                               "parity": "FAIL"}))
             sys.exit(2)
+    if args.realistic:
+        return run_realistic(args, on_tpu, parity)
+
     # default TPU db ~ SwissProt scale (BASELINE.json config 2); larger DBs
     # amortise per-bin overheads and pad less (sorted groups get tighter)
     n_seqs = args.seqs if args.seqs is not None else (300_000 if on_tpu
@@ -182,6 +194,121 @@ def main():
                       "unit": "GCUPS",
                       "vs_baseline": round(gcups / 179.0, 3),
                       "parity": parity["parity"]}))
+
+
+def run_realistic(args, on_tpu, parity):
+    """Realistic-composition validation (VERDICT r3 item 3): everything
+    the uniform-random headline never exercises — length spikes, fragment
+    tails, biased residue composition, the streaming preprocess at
+    corpus scale, and the significance fit against data whose scores are
+    composition-dependent.  Matches the reference's Environmental NR
+    benchmark conditions (/root/reference/README.md:23) as closely as an
+    offline rig allows."""
+    import tempfile
+    from oswald_tpu.io.synth import (make_realistic_corpus, mutate,
+                                     realistic_residues)
+    from oswald_tpu.io.stream import preprocess_db_streaming
+    from oswald_tpu.io.synth import write_fasta
+    from oswald_tpu.io.db import load_db
+
+    err = sys.stderr
+    rng = np.random.default_rng(7)
+    n_seqs = args.seqs if args.seqs is not None else (300_000 if on_tpu
+                                                     else 2_048)
+    # the planted true positives: homologs of query_hom at ~60% identity
+    query = realistic_residues(rng, args.qlen)
+    query_hom = realistic_residues(rng, 360)
+    planted = [mutate(query_hom, rng, identity=0.6) for _ in range(3)]
+    flat, lengths, titles = make_realistic_corpus(rng, n_seqs,
+                                                  planted=planted)
+
+    with tempfile.TemporaryDirectory() as td:
+        fasta = os.path.join(td, "realistic.fasta")
+        write_fasta(fasta, flat, lengths, titles)
+        fa_bytes = os.path.getsize(fasta)
+        t0 = time.perf_counter()
+        # the out-of-core path on purpose: this is the most-used entry
+        # point of the reference (sequences.c:4-220) and the corpus is
+        # big enough to be a meaningful GB/s row
+        preprocess_db_streaming(fasta, os.path.join(td, "rdb"))
+        prep_s = time.perf_counter() - t0
+        db = load_db(os.path.join(td, "rdb"))
+        print(json.dumps({
+            "config": "realistic_preprocess", "fasta_mb":
+            round(fa_bytes / 2**20, 1), "n_seqs": db.n_seqs,
+            "residues": db.n_residues, "preprocess_s": round(prep_s, 2),
+            "mb_per_s": round(fa_bytes / 2**20 / prep_s, 1)}), file=err)
+
+        padded = sum(db.bins[L]["seq"].shape[0] * L * 1024
+                     for L in db.bin_lengths)
+        cfg = SearchConfig(matrix=args.matrix)
+        eng = SearchEngine(db, cfg)
+
+        # random query: throughput + null-model sanity (its best hits are
+        # chance hits, so the smallest reported E-value should be O(1) —
+        # a tiny E here would mean the fit calls noise significant)
+        _retry(lambda: eng.search(query))
+        t0 = time.perf_counter()
+        res = eng.search(query)
+        dt = time.perf_counter() - t0
+        gcups = args.qlen * db.n_residues / dt / 1e9
+        e_top = float(res.evalues[0]) if res.evalues is not None else None
+        print(json.dumps({
+            "config": "realistic_random_query", "qlen": args.qlen,
+            "gcups": round(gcups, 2), "search_s": round(dt, 4),
+            "pad_overhead": round(padded / db.n_residues, 3),
+            "top1_score": int(res.scores[0]),
+            "top1_evalue": None if e_top is None else float(f"{e_top:.3g}"),
+            "null_ok": bool(e_top is None or e_top > 0.01)}), file=err)
+
+        # planted homologs: the parent query must pull its three mutated
+        # copies to the top with E << 1 (the true-positive control)
+        rh = eng.search(query_hom)
+        hits = [t for t in rh.titles[:3]]
+        e_hom = float(rh.evalues[0]) if rh.evalues is not None else None
+        planted_top = sum(1 for t in hits if t.startswith("planted_"))
+        print(json.dumps({
+            "config": "realistic_planted_homologs",
+            "top3_titles": hits,
+            "planted_in_top3": planted_top,
+            "top1_evalue": None if e_hom is None else float(f"{e_hom:.3g}"),
+            "homolog_ok": bool(planted_top == 3 and
+                               (e_hom is None or e_hom < 1e-10))}),
+            file=err)
+
+        # alignment post-pass over the top hit (exercises traceback on
+        # realistic data; its score must equal the search's)
+        aln = eng.align(query_hom, rh)[0]
+        print(json.dumps({
+            "config": "realistic_alignment",
+            "aln_score": int(aln.score), "search_score": int(rh.scores[0]),
+            "identities": aln.identities,
+            "aln_ok": bool(int(aln.score) == int(rh.scores[0]))}), file=err)
+
+        # larger-than-HBM path on the same corpus
+        import gc
+        eng.prof_flat = eng.tail_flat = None
+        gc.collect()
+        hs = SearchEngine(db, SearchConfig(matrix=args.matrix,
+                                           profile_mode="host_stream"))
+        _retry(lambda: hs.search(query))
+        t0 = time.perf_counter()
+        hs.search(query)
+        dt_hs = time.perf_counter() - t0
+        print(json.dumps({
+            "config": "realistic_host_stream",
+            "gcups": round(args.qlen * db.n_residues / dt_hs / 1e9, 2),
+            "search_s": round(dt_hs, 4)}), file=err)
+
+        ok = (res.scores[0] >= 0 and planted_top == 3 and
+              int(aln.score) == int(rh.scores[0]))
+        print(json.dumps(parity), file=err)
+        print(json.dumps({
+            "metric": "GCUPS_realistic", "value": round(gcups, 2),
+            "unit": "GCUPS", "vs_baseline": round(gcups / 179.0, 3),
+            "parity": parity["parity"],
+            "checks_ok": bool(ok)}))
+        return 0 if ok else 3
 
 
 def run_suite(db, eng, rng, on_tpu, file):
@@ -335,4 +462,4 @@ def run_suite(db, eng, rng, on_tpu, file):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
