@@ -185,7 +185,8 @@ def main():
     print(json.dumps(info), file=sys.stderr)
 
     if args.suite:
-        run_suite(db, eng, rng, on_tpu, file=sys.stderr)
+        run_suite(db, eng, rng, on_tpu, file=sys.stderr,
+                  single_s=dt, qlen=args.qlen)
 
     # the parity certificate rides the recorded tail next to the number it
     # certifies (VERDICT r2 item 1)
@@ -311,7 +312,7 @@ def run_realistic(args, on_tpu, parity):
         return 0 if ok else 3
 
 
-def run_suite(db, eng, rng, on_tpu, file):
+def run_suite(db, eng, rng, on_tpu, file, single_s=None, qlen=512):
     """BASELINE.json configs 3 and 4: query-length sweep and multi-query
     batch; plus a matrix sweep (compiled programs are matrix-independent,
     so this mostly measures profile rebuild)."""
@@ -432,14 +433,37 @@ def run_suite(db, eng, rng, on_tpu, file):
     de = DistributedSearchEngine(db, SearchConfig(),
                                  mesh=make_device_mesh(1))
     d_setup = time.perf_counter() - t0
-    q = rng.integers(0, 23, size=512).astype(np.int8)
+    q = rng.integers(0, 23, size=qlen).astype(np.int8)
     _retry(lambda: de.search(q))           # compile
     t0 = time.perf_counter()
     de.search(q)
     dt = time.perf_counter() - t0
     print(json.dumps({"config": "dist_mesh1", "setup_s": round(d_setup, 2),
-                      "gcups": round(512 * db.n_residues / dt / 1e9, 2),
+                      "gcups": round(qlen * db.n_residues / dt / 1e9, 2),
                       "search_s": round(dt, 4)}), file=file)
+
+    # falsifiable scaling model (VERDICT r3 item 7): per-bin collective
+    # payloads + shard-padding inflation + the measured mesh=1 overhead,
+    # projected to pod sizes.  The N=1 row reproduces the measured number
+    # by construction; N in {8, 64, 256} are the predictions a first real
+    # pod run must reproduce or refute.
+    if single_s is not None:
+        from oswald_tpu.dist.model import scaling_projection
+        proj = scaling_projection(db, k=de.config.top, qlen=qlen,
+                                  t_single_s=single_s, t_mesh1_s=dt)
+        if dt >= single_s:
+            # mesh1 slower than single-chip (the normal case): the model
+            # must reproduce the measured N=1 number exactly.  The other
+            # ordering is measurement noise (overhead clamps to 0 and the
+            # model predicts single_s, the honest floor).
+            assert abs(proj.t_proj_s[1] - dt) < 1e-6, \
+                "model must reproduce N=1"
+        print(json.dumps({
+            "config": "scaling_model", "dispatches": proj.dispatches,
+            "n_bins": proj.n_bins,
+            "mesh1_overhead_s": round(proj.overhead_s, 4),
+            "ag_bytes_per_dev_per_bin_n8": 8 * (de.config.top + 2) * 7,
+            "projections": proj.rows()}), file=file)
     del de
     gc.collect()
 

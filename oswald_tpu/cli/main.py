@@ -165,6 +165,10 @@ def build_parser():
                     help="precompile the padded-query ladder up to this "
                          "length before accepting requests (0 = skip; "
                          "default: 512)")
+    sv.add_argument("--warmup-jobs", type=int, default=4,
+                    help="parallel warmup steps (compiles/loads overlap; "
+                         "1 = serial; single-process meshes only — pod "
+                         "serving always warms serially)")
 
     sub.add_parser("info", help="TPU device information")
 
@@ -230,7 +234,8 @@ def cmd_serve(args):
     db, engine, _, setup_s = _build_engine(args)
     print(f"engine ready in {setup_s:.2f}s")
     return serve_forever(db, engine, args.host, args.port,
-                         warmup_qlen=args.warmup_qlen or None)
+                         warmup_qlen=args.warmup_qlen or None,
+                         warmup_jobs=args.warmup_jobs)
 
 
 def cmd_preprocess(args):

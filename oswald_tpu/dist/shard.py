@@ -790,15 +790,18 @@ class DistributedSearchEngine:
         return fn
 
     def warmup(self, max_query_len: int = 512, batch: bool = True,
-               log=None):
+               log=None, jobs: int = 1):
         """Precompile every (bin, padded-query-shape) program for queries
         up to max_query_len, in both kernel variants plus the common pack
         rungs — same serving-deployment contract as SearchEngine.warmup
         (shared warmup_engine).  Multi-process note: warmup is SPMD
-        (collective programs), so every rank must call it identically.
-        Returns the padded lengths compiled."""
+        (collective programs), so every rank must call it identically —
+        and jobs defaults to 1 here because a thread pool would enqueue
+        collectives in a nondeterministic order across ranks (a deadlock
+        on a real multi-process mesh); raise it only on single-process
+        meshes.  Returns the padded lengths compiled."""
         from oswald_tpu.engine.search import warmup_engine
-        return warmup_engine(self, max_query_len, batch, log)
+        return warmup_engine(self, max_query_len, batch, log, jobs=jobs)
 
     def align(self, query, result: SearchResult):
         """Gapped alignments for a SearchResult's hits (host post-pass;

@@ -757,7 +757,7 @@ def mixed_pack_plan(pack_rows: int, u_rows: int, queries,
 
 
 def warmup_engine(engine, max_query_len: int = 512, batch: bool = True,
-                  log=None):
+                  log=None, jobs: int = 4):
     """Shared warmup for both engines: precompile every (bin, padded-query)
     program for queries up to max_query_len — in BOTH kernel variants
     (dummy-block skip and branch-free full-class, see sw_chunk n_blocks)
@@ -767,12 +767,21 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True,
     program on first sight — the ladder is logarithmic, so a serving
     deployment converges after a handful of requests.
 
-    A FULLY COLD compile cache pays ~20-40 s per program through a
+    jobs: warmup steps run in a thread pool (the warmed programs are
+    independent; compiles and executable loads release the GIL and the
+    remote compile service handles them concurrently, while device
+    execution serialises harmlessly).  jobs=1 restores the serial
+    schedule.  Measured numbers: SCALING.md "compile-cache + warmup".
+
+    A FULLY COLD compile cache pays ~4-40 s per program through a
     remote compile service, so a first-ever warmup at the default
-    max_query_len can take tens of minutes (measured 22 min on the v5e
-    rig; persistent-cache restarts take seconds).  `log` gets one line
-    per step so the startup is visibly progressing.  Returns the single-
-    query padded lengths compiled."""
+    max_query_len can take tens of minutes (measured 22 min serial on the
+    v5e rig); with the persistent compilation cache primed
+    (oswald_tpu.utils.compile_cache, on by default in the CLI/bench) a
+    restart replays the ladder in seconds-to-minutes — the residual is
+    this rig's per-program executable install RTT, overlapped by jobs.
+    `log` gets one line per step so the startup is visibly progressing.
+    Returns the single-query padded lengths compiled."""
     t_start = time.perf_counter()
     # never warm past the engine's accepted cap (pad_query rejects longer)
     max_query_len = min(max_query_len, engine.config.max_query_len)
@@ -781,6 +790,7 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True,
         if log:
             log(f"warmup [{time.perf_counter() - t_start:5.0f}s] {msg}")
 
+    items = []                      # (description, thunk)
     m_pads = []
     m = 1
     while True:
@@ -792,11 +802,14 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True,
             # full class length (compiles the branch-free nb=None variant
             # — a query that exactly fills its class selects a DIFFERENT
             # program, and warming only one leaves the other cold)
-            say(f"single-query pad class {m_pad} (skip variant)")
-            engine.search(np.full(min(m, max_query_len), DUMMY, np.int8))
+            q_skip = np.full(min(m, max_query_len), DUMMY, np.int8)
+            items.append((f"single-query pad class {m_pad} (skip variant)",
+                          lambda q=q_skip: engine.search(q)))
             if m_pad <= max_query_len and m_pad != m:
-                say(f"single-query pad class {m_pad} (branch-free)")
-                engine.search(np.full(m_pad, DUMMY, np.int8))
+                q_full = np.full(m_pad, DUMMY, np.int8)
+                items.append(
+                    (f"single-query pad class {m_pad} (branch-free)",
+                     lambda q=q_full: engine.search(q)))
         if m_pad >= max_query_len:
             break
         m = m_pad + 1
@@ -815,9 +828,12 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True,
         # max_query_len: qf + q_cap must exceed the bin budget so
         # mixed_pack_plan puts them in separate bins (compiling the
         # 1-query pack rungs); truncating to max_query_len let them share
-        # one bin and left those rungs cold
-        cap_rows = max(engine.config.batch_query_pack_rows,
-                       engine.config.u_rows)
+        # one bin and left those rungs cold.  (Clamped to the engine's
+        # accepted cap: a low-max_query_len engine simply skips the
+        # forced-split rungs.)
+        cap_rows = min(max(engine.config.batch_query_pack_rows,
+                           engine.config.u_rows),
+                       engine.config.max_query_len)
         q_cap = np.full(cap_rows, DUMMY, np.int8)
         m = 1
         while True:
@@ -827,15 +843,33 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True,
                 b_pads.add(m_pad)
                 qb = np.full(min(m, max_query_len), DUMMY, np.int8)
                 qf = np.full(min(m_pad, max_query_len), DUMMY, np.int8)
-                say(f"batch pad class {m_pad}: 2-query pack rungs")
-                engine.search_many([qf, qf])
+                items.append((f"batch pad class {m_pad}: 2-query pack "
+                              f"rungs", lambda q=qf:
+                              engine.search_many([q, q])))
                 if m != m_pad:
-                    engine.search_many([qb, qb])
-                say(f"batch pad class {m_pad}: 1-query pack rungs")
-                engine.search_many([qf, q_cap])
+                    items.append((f"batch pad class {m_pad}: 2-query "
+                                  f"boundary rungs", lambda q=qb:
+                                  engine.search_many([q, q])))
+                items.append((f"batch pad class {m_pad}: 1-query pack "
+                              f"rungs", lambda q=qf:
+                              engine.search_many([q, q_cap])))
             if m_pad >= max_query_len:
                 break
             m = m_pad + 1
+
+    def run_one(desc, thunk):
+        say(desc)
+        thunk()
+
+    if jobs > 1 and len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            futs = [ex.submit(run_one, d, t) for d, t in items]
+            for f in futs:
+                f.result()          # propagate the first failure
+    else:
+        for d, t in items:
+            run_one(d, t)
     engine.metrics.add("warmup", 0.0)
     return m_pads
 
@@ -1265,13 +1299,14 @@ class SearchEngine:
         return results
 
     def warmup(self, max_query_len: int = 512, batch: bool = True,
-               log=None):
+               log=None, jobs: int = 4):
         """Precompile every (bin, padded-query-shape) program for queries up
         to max_query_len, in both kernel variants plus the common pack
         rungs (see warmup_engine) — a serving deployment calls this once
-        so the first real query doesn't pay XLA compilation.  Returns the
+        so the first real query doesn't pay XLA compilation.  jobs
+        parallelises the steps (compiles/loads overlap).  Returns the
         list of padded lengths compiled."""
-        return warmup_engine(self, max_query_len, batch, log)
+        return warmup_engine(self, max_query_len, batch, log, jobs=jobs)
 
     def align(self, query, result: SearchResult):
         """Gapped alignments (traceback) for a SearchResult's hits — a

@@ -422,12 +422,14 @@ def pod_shutdown_broadcast():
 
 
 def serve_forever(db, engine, host: str, port: int,
-                  warmup_qlen: int | None = 512):
+                  warmup_qlen: int | None = 512, warmup_jobs: int = 4):
     """CLI entry: warm the compile cache, bind, serve until interrupted.
 
     Multi-process (pod) runs: every process calls this with the same
     arguments after `dist.bootstrap()`; rank 0 serves HTTP and broadcasts
-    each dispatch, the rest mirror it (see the pod section above)."""
+    each dispatch, the rest mirror it (see the pod section above; warmup
+    is collective there, so warmup_jobs is ignored — rank order must
+    match)."""
     import jax
     if jax.process_count() > 1:
         return _serve_forever_pod(db, engine, host, port, warmup_qlen)
@@ -435,7 +437,8 @@ def serve_forever(db, engine, host: str, port: int,
     if warmup_qlen:
         t0 = time.perf_counter()
         pads = engine.warmup(warmup_qlen,
-                             log=lambda s: print(s, flush=True))
+                             log=lambda s: print(s, flush=True),
+                             jobs=warmup_jobs)
         print(f"warmup: compiled query pads {pads} "
               f"in {time.perf_counter() - t0:.1f}s")
     httpd = make_server(service, host, port)

@@ -34,6 +34,8 @@ def main():
     p.add_argument("--warmup-qlen", type=int, default=512)
     p.add_argument("--no-batch", action="store_true",
                    help="skip the packed/batched warmup rungs")
+    p.add_argument("--jobs", type=int, default=1,
+                   help="parallel warmup steps (warmup_engine jobs)")
     args = p.parse_args()
 
     from oswald_tpu.utils.compile_cache import (enable_compile_cache,
@@ -59,7 +61,7 @@ def main():
 
     t0 = time.perf_counter()
     eng.warmup(max_query_len=args.warmup_qlen, batch=not args.no_batch,
-               log=lambda m: print(m, file=sys.stderr))
+               log=lambda m: print(m, file=sys.stderr), jobs=args.jobs)
     warmup_s = time.perf_counter() - t0
 
     # one real post-warmup search to prove the deployment is live
