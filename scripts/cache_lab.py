@@ -18,6 +18,13 @@ Run it twice; the second invocation is the restart measurement.  Results
 are recorded in SCALING.md.
 """
 
+import os
+import sys
+
+# repo-root import shim (PYTHONPATH must keep /root/.axon_site first
+# for the TPU plugin, so scripts self-shim instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys

@@ -12,6 +12,13 @@ Usage: python scripts/noadj_fuzz.py [--configs 4000] [--maxlen 80]
 Prints a JSON summary; exits 1 on any mismatch.
 """
 
+import os
+import sys
+
+# repo-root import shim (PYTHONPATH must keep /root/.axon_site first
+# for the TPU plugin, so scripts self-shim instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys
