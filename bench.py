@@ -288,7 +288,8 @@ def run_realistic(args, on_tpu, parity):
 
         # larger-than-HBM path on the same corpus
         import gc
-        eng.prof_flat = eng.tail_flat = None
+        eng.prof_flat = None
+        eng.tail_flats = {}
         gc.collect()
         hs = SearchEngine(db, SearchConfig(matrix=args.matrix,
                                            profile_mode="host_stream"))
@@ -378,7 +379,8 @@ def run_suite(db, eng, rng, on_tpu, file, single_s=None, qlen=512):
     # default db) before constructing more engines — the suite otherwise
     # accumulates engines until the device allocator fragments/exhausts
     import gc
-    eng.prof_flat = eng.tail_flat = None
+    eng.prof_flat = None
+    eng.tail_flats = {}
     gc.collect()
 
     # stream mode: residues resident, profiles rebuilt per chunk in-scan

@@ -165,10 +165,11 @@ def build_parser():
                     help="precompile the padded-query ladder up to this "
                          "length before accepting requests (0 = skip; "
                          "default: 512)")
-    sv.add_argument("--warmup-jobs", type=int, default=4,
-                    help="parallel warmup steps (compiles/loads overlap; "
-                         "1 = serial; single-process meshes only — pod "
-                         "serving always warms serially)")
+    sv.add_argument("--warmup-jobs", type=int, default=1,
+                    help="parallel warmup steps (1 = serial, the "
+                         "measured best through a remote compile "
+                         "service — see warmup_engine; raise only where "
+                         "XLA compiles are local CPU work)")
 
     sub.add_parser("info", help="TPU device information")
 

@@ -244,11 +244,14 @@ class DistributedSearchEngine:
         # scans it.  Searches dynamic_slice their bin's window out of the
         # local block inside shard_map (_search_bin_flat_impl).
         self.prof_flat = None
-        self.tail_flat = None
-        self.bin_geom = {}              # L -> (off_loc, C, G_loc, toff|None)
+        # per tail width w: one device-major flat tail-profile array (the
+        # 32-residue bin quantum leaves 32/64/96-position tails)
+        self.tail_flats = {}            # w -> sharded int8[Tw, 24, w*8, 128]
+        self.bin_geom = {}        # L -> (off_loc, C, G_loc, toff|None, tw)
         flat_parts = []                 # per bin: [ndev_loc, C*G_loc, W,8,128]
-        tail_parts = []                 # per bin: [ndev_loc, G_loc, 64,8,128]
-        coff = toff_n = 0
+        tail_parts = {}                 # w -> [[ndev_loc, G_loc, w,8,128]]
+        toff_n = {}                     # w -> next local offset
+        coff = 0
         ndev_loc = None
 
         for L in db.bin_lengths:
@@ -284,13 +287,14 @@ class DistributedSearchEngine:
                                          SUBLANES, LANES)
                         .transpose(0, 2, 1, 3, 4, 5)).reshape(
                             nloc, C * G_loc, CHUNK_WIDTH, SUBLANES, LANES))
-                toff = None
+                toff = tw = None
                 if tail_loc is not None:
-                    tail_parts.append(tail_loc.reshape(
-                        nloc, G_loc, CHUNK_WIDTH // 2, SUBLANES, LANES))
-                    toff = toff_n
-                    toff_n += G_loc
-                self.bin_geom[L] = (coff, C, G_loc, toff)
+                    tw = L % CHUNK_WIDTH
+                    tail_parts.setdefault(tw, []).append(tail_loc.reshape(
+                        nloc, G_loc, tw, SUBLANES, LANES))
+                    toff = toff_n.get(tw, 0)
+                    toff_n[tw] = toff + G_loc
+                self.bin_geom[L] = (coff, C, G_loc, toff, tw)
                 coff += C * G_loc
             else:
                 # chunk-major [C, G, W, 8, 128] residues, group axis sharded
@@ -326,17 +330,15 @@ class DistributedSearchEngine:
                     self.mesh, P(AXIS),
                     np.zeros((0, 24, POS, LANES), np.int8),
                     (0, 24, POS, LANES))
-            if tail_parts:
+            for w, parts in tail_parts.items():
                 local = np.concatenate(
-                    [np.concatenate([part[i] for part in tail_parts])
+                    [np.concatenate([part[i] for part in parts])
                      for i in range(nloc)]) if nloc else \
-                    np.zeros((0, CHUNK_WIDTH // 2, SUBLANES, LANES),
-                             np.int8)
+                    np.zeros((0, w, SUBLANES, LANES), np.int8)
                 tail_sharded = _put_local(
                     self.mesh, P(AXIS), local,
-                    (self.ndev * toff_n, CHUNK_WIDTH // 2, SUBLANES,
-                     LANES))
-                self.tail_flat = build(tail_sharded, self.submat_dev)
+                    (self.ndev * toff_n[w], w, SUBLANES, LANES))
+                self.tail_flats[w] = build(tail_sharded, self.submat_dev)
         self.metrics.add("engine_setup", time.perf_counter() - t_setup)
 
     def _init_host_stream(self):
@@ -526,7 +528,7 @@ class DistributedSearchEngine:
         def inner(q_pad, nb, gaps, submat, data, ids, lnl_table):
             if precompute:
                 prof_flat, tail_flat = data
-                off, C, G_loc, toff = geom
+                off, C, G_loc, toff, _tw = geom
                 scores = _search_bin_flat_impl(
                     q_pad, gaps, prof_flat, tail_flat, off, C, G_loc,
                     toff, u_rows, interpret, gb, acc, cu, na, nb=nb)
@@ -591,7 +593,7 @@ class DistributedSearchEngine:
         def inner(q_pad, nb, gaps, submat, data):
             if precompute:
                 prof_flat, tail_flat = data
-                off, C, G_loc, toff = geom
+                off, C, G_loc, toff, _tw = geom
                 scores = _search_bin_flat_impl(
                     q_pad, gaps, prof_flat, tail_flat, off, C, G_loc,
                     toff, u_rows, interpret, gb, acc, cu, na, nb=nb)
@@ -634,7 +636,7 @@ class DistributedSearchEngine:
         q_args = (q_pad,) + (() if nb is None else (nb,))
         outs = []
         for L in self.db.bin_lengths:
-            data = (self.prof_flat, self.tail_flat) if \
+            data = (self.prof_flat, self._bin_tail(L)) if \
                 self.mode == "precompute" else self.seq_stacks[L]
             outs.append(self._bin_scores_fn(L, nb is not None)(
                 *q_args, self.gaps, self.submat_dev, data))
@@ -655,6 +657,12 @@ class DistributedSearchEngine:
     def _pad_query(self, query):
         return pad_query(query, self.config)
 
+    def _bin_tail(self, L):
+        """Bin L's sharded tail-profile array (or None if L has no
+        sub-128 tail chunk) — per-bin data for the shard_map programs."""
+        tw = self.bin_geom[L][4]
+        return self.tail_flats.get(tw) if tw is not None else None
+
     def _dispatch(self, query, query_title: str):
         """Enqueue one query's per-bin shard_map programs without blocking
         (see SearchEngine._dispatch); host_stream completes synchronously
@@ -673,7 +681,7 @@ class DistributedSearchEngine:
             return (query, query_title, t0, k, None, None, done)
         cands = []
         for L in self.db.bin_lengths:
-            data = (self.prof_flat, self.tail_flat) if \
+            data = (self.prof_flat, self._bin_tail(L)) if \
                 self.mode == "precompute" else \
                 self.seq_stacks[L]
             q_args = (q_pad,) + (() if nb is None else (nb,))
@@ -746,7 +754,7 @@ class DistributedSearchEngine:
         def inner(q_batch, nbs, gaps, submat, data, ids, lnl_table):
             if precompute:
                 prof_flat, tail_flat = data
-                off, C, G_loc, toff = geom
+                off, C, G_loc, toff, _tw = geom
                 scores = _search_bin_flat_batch_impl(
                     q_batch, gaps, prof_flat, tail_flat, off, C, G_loc,
                     toff, u_rows, interpret, gb, acc, cu, na, nbs=nbs)
@@ -833,7 +841,7 @@ class DistributedSearchEngine:
                   lnl_table):
             if precompute:
                 prof_flat, tail_flat = data
-                off, C, G_loc, toff = geom
+                off, C, G_loc, toff, _tw = geom
                 scores = _search_bin_flat_pack_impl(
                     q_packed, gaps, prof_flat, tail_flat, off, C, G_loc,
                     toff, q_segs, u_rows, interpret, gb, acc, cu, na,
@@ -921,7 +929,7 @@ class DistributedSearchEngine:
             n2 = 1 << (len(sub) - 1).bit_length()
             cands = []
             for L in self.db.bin_lengths:
-                data = (self.prof_flat, self.tail_flat) if \
+                data = (self.prof_flat, self._bin_tail(L)) if \
                     self.mode == "precompute" else \
                     self.seq_stacks[L]
                 cands.append(self._bin_pack_fn(L, k, S, n2,
@@ -953,7 +961,7 @@ class DistributedSearchEngine:
                 continue
             cands = []
             for L in self.db.bin_lengths:
-                data = (self.prof_flat, self.tail_flat) if \
+                data = (self.prof_flat, self._bin_tail(L)) if \
                     self.mode == "precompute" else self.seq_stacks[L]
                 q_args = (qb,) + (() if nbs is None else (nbs,))
                 cands.append(self._bin_batch_fn(L, k, nbs is not None)(
@@ -987,7 +995,9 @@ class DistributedSearchEngine:
                     elapsed=0.0, evalues=ev, bit_scores=bits, stats=st)
         elapsed = time.perf_counter() - t0
         self.metrics.add("search_batch", elapsed)
-        per = elapsed / max(len(queries), 1)
+        # honest timing (see SearchResult.elapsed): the batch's real wall
+        # time + batch_n, not a fictional per-query average
         for r in results:
-            r.elapsed = per
+            r.elapsed = elapsed
+            r.batch_n = len(queries)
         return results

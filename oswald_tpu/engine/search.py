@@ -225,7 +225,14 @@ class SearchResult:
     scores: np.ndarray        # int32[k], descending
     seq_ids: np.ndarray       # int32[k], sorted-order ids into db.titles
     titles: list              # top-k subject titles
-    elapsed: float            # seconds (this query's device time)
+    # Wall seconds of the search call that produced this result.  For a
+    # batched search (search_many) this is the WHOLE batch's wall time,
+    # shared by all batch_n results — the queries ran inside common
+    # device programs, so no truthful per-query split exists; divide by
+    # batch_n for an amortised rate, never read it as one query's
+    # latency when batch_n > 1.
+    elapsed: float
+    batch_n: int = 1          # queries sharing this elapsed (1 = alone)
     # empirical significance statistics (oswald_tpu.stats; None when the
     # database is too small for a meaningful extreme-value fit)
     evalues: np.ndarray | None = None      # float64[k]
@@ -757,7 +764,7 @@ def mixed_pack_plan(pack_rows: int, u_rows: int, queries,
 
 
 def warmup_engine(engine, max_query_len: int = 512, batch: bool = True,
-                  log=None, jobs: int = 4):
+                  log=None, jobs: int = 1):
     """Shared warmup for both engines: precompile every (bin, padded-query)
     program for queries up to max_query_len — in BOTH kernel variants
     (dummy-block skip and branch-free full-class, see sw_chunk n_blocks)
@@ -767,11 +774,17 @@ def warmup_engine(engine, max_query_len: int = 512, batch: bool = True,
     program on first sight — the ladder is logarithmic, so a serving
     deployment converges after a handful of requests.
 
-    jobs: warmup steps run in a thread pool (the warmed programs are
-    independent; compiles and executable loads release the GIL and the
-    remote compile service handles them concurrently, while device
-    execution serialises harmlessly).  jobs=1 restores the serial
-    schedule.  Measured numbers: SCALING.md "compile-cache + warmup".
+    jobs: warmup steps can run in a thread pool (the warmed programs are
+    independent and compiles release the GIL).  Default 1 — SERIAL:
+    measured on the v5e rig, jobs=8 was SLOWER both cold (1491 s vs
+    849 s) and cache-warm (838 s vs 490 s): the remote compile/install
+    service serialises program installs, so parallel submission only adds
+    contention — and programs first-traced inside pool threads hash to
+    DIFFERENT persistent-cache keys than main-thread traces (measured:
+    the same ladder compiled twice into disjoint key sets), fragmenting
+    the cache across serve/CLI call contexts.  Raise jobs only on hosts
+    whose XLA compile is local CPU work.  Numbers: SCALING.md
+    "compile-cache + warmup".
 
     A FULLY COLD compile cache pays ~4-40 s per program through a
     remote compile service, so a first-ever warmup at the default
@@ -970,10 +983,15 @@ class SearchEngine:
         # so all per-bin layout work happens host-side in numpy and the
         # device sees ONE transfer + ONE gather (+ one for tail chunks).
         self.prof_flat = None           # int8[Ctot, 24, POS, 128]
-        self.tail_flat = None           # int8[Ttot, 24, POS/2, 128]
-        self.bin_geom = {}              # L -> (off, C, G_pad, toff|None)
-        flat_parts, tail_parts = [], []
-        coff = toff_n = 0
+        # trailing sub-128 chunks, one flat profile array PER TAIL WIDTH
+        # (the 32-residue bin quantum leaves tails of 32/64/96 positions;
+        # bins of equal tail width share one array + offsets)
+        self.tail_flats = {}            # w -> int8[Tw, 24, w*8, 128]
+        self.bin_geom = {}              # L -> (off, C, G_pad, toff|None, tw)
+        flat_parts = []
+        tail_parts = {}                 # w -> [np arrays]
+        toff_n = {}                     # w -> next offset
+        coff = 0
         ids_flat = []
         t_setup = time.perf_counter()
         for L in db.bin_lengths:
@@ -1002,12 +1020,13 @@ class SearchEngine:
                     flat_parts.append(np.ascontiguousarray(
                         main_np.transpose(1, 0, 2, 3, 4)).reshape(
                             C * G_pad, CHUNK_WIDTH, SUBLANES, LANES))
-                toff = None
+                toff = tw = None
                 if tail_np is not None:
-                    tail_parts.append(tail_np)
-                    toff = toff_n
-                    toff_n += G_pad
-                self.bin_geom[L] = (coff, C, G_pad, toff)
+                    tw = L % CHUNK_WIDTH
+                    tail_parts.setdefault(tw, []).append(tail_np)
+                    toff = toff_n.get(tw, 0)
+                    toff_n[tw] = toff + G_pad
+                self.bin_geom[L] = (coff, C, G_pad, toff, tw)
                 coff += C * G_pad
             else:                       # "stream" (config validates the set)
                 main_dev = jnp.asarray(np.ascontiguousarray(
@@ -1022,9 +1041,9 @@ class SearchEngine:
                     jnp.asarray(np.concatenate(flat_parts)), self.submat)
             else:
                 self.prof_flat = jnp.zeros((0, 24, POS, LANES), jnp.int8)
-            if tail_parts:
-                self.tail_flat = _build_profile_jit(
-                    jnp.asarray(np.concatenate(tail_parts)), self.submat)
+            for w, parts in tail_parts.items():
+                self.tail_flats[w] = _build_profile_jit(
+                    jnp.asarray(np.concatenate(parts)), self.submat)
         self.submat_dev = jnp.asarray(self.submat)
 
         # slot -> sorted-sequence-id map in slot order (bins ascending);
@@ -1153,10 +1172,12 @@ class SearchEngine:
             outs = []
             for L in bin_lengths:
                 if precompute:
-                    prof_flat, tail_flat = stacks
-                    off, C, G, toff = bin_geom[L]
+                    prof_flat, tail_flats = stacks
+                    off, C, G, toff, tw = bin_geom[L]
                     s = _search_bin_flat_impl(q_pad, gaps, prof_flat,
-                                              tail_flat, off, C, G, toff,
+                                              tail_flats[tw]
+                                              if toff is not None else None,
+                                              off, C, G, toff,
                                               u, interpret, gb, acc, cu, na,
                                               nb=nb)
                 else:
@@ -1188,9 +1209,9 @@ class SearchEngine:
         outs = []
         for L in self.db.bin_lengths:
             if self.mode == "precompute":
-                off, C, G, toff = self.bin_geom[L]
+                off, C, G, toff, tw = self.bin_geom[L]
                 s = _search_bin_flat(q_pad, self.gaps, self.prof_flat,
-                                     self.tail_flat if toff is not None
+                                     self.tail_flats[tw] if toff is not None
                                      else None, off, C=C, G=G, toff=toff,
                                      u_rows=self.config.u_rows,
                                      interpret=self._interpret,
@@ -1236,7 +1257,7 @@ class SearchEngine:
             q_pad = jnp.asarray(q_pad_np)
             nb = nb_or_none(np.asarray(query).size, q_pad_np.shape[0],
                             self.config.u_rows)
-            stacks = (self.prof_flat, self.tail_flat) if \
+            stacks = (self.prof_flat, self.tail_flats) if \
                 self.mode == "precompute" else self.seq_stacks
             packed = self._search_fn(k)(
                 q_pad, nb, self.gaps, self.submat_dev, stacks, self.valid,
@@ -1299,7 +1320,7 @@ class SearchEngine:
         return results
 
     def warmup(self, max_query_len: int = 512, batch: bool = True,
-               log=None, jobs: int = 4):
+               log=None, jobs: int = 1):
         """Precompile every (bin, padded-query-shape) program for queries up
         to max_query_len, in both kernel variants plus the common pack
         rungs (see warmup_engine) — a serving deployment calls this once
@@ -1376,10 +1397,10 @@ class SearchEngine:
                         col_unroll=self.config.col_unroll,
                         noadj=self._noadj, seg_map=seg_map, nb=nb)
                 else:
-                    off, C, G, toff = self.bin_geom[L]
+                    off, C, G, toff, tw = self.bin_geom[L]
                     s = _search_bin_flat_pack(
                         q_packed, self.gaps, self.prof_flat,
-                        self.tail_flat if toff is not None
+                        self.tail_flats[tw] if toff is not None
                         else None,
                         off, C=C, G=G, toff=toff, q_segs=S,
                         u_rows=self.config.u_rows,
@@ -1436,10 +1457,11 @@ class SearchEngine:
                             col_unroll=self.config.col_unroll,
                             noadj=self._noadj, nbs=nbs)
                     else:
-                        off, C, G, toff = self.bin_geom[L]
+                        off, C, G, toff, tw = self.bin_geom[L]
                         s = _search_bin_flat_batch(
                             qb, self.gaps, self.prof_flat,
-                            self.tail_flat if toff is not None else None,
+                            self.tail_flats[tw] if toff is not None
+                            else None,
                             off, C=C, G=G, toff=toff,
                             u_rows=self.config.u_rows,
                             interpret=self._interpret,
@@ -1476,7 +1498,10 @@ class SearchEngine:
                     elapsed=0.0, evalues=ev, bit_scores=bits, stats=st)
         elapsed = time.perf_counter() - t0
         self.metrics.add("search_batch", elapsed)
-        per = elapsed / max(len(queries), 1)
+        # honest timing: every result carries the batch's REAL wall time
+        # plus batch_n — a per-query average would be fiction (queries
+        # shared device programs; no per-query split exists)
         for r in results:
-            r.elapsed = per
+            r.elapsed = elapsed
+            r.batch_n = len(queries)
         return results

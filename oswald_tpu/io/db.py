@@ -34,12 +34,16 @@ from oswald_tpu.io.fasta import parse_fasta
 SUBLANES = 8
 LANES = 128
 GROUP_LANES = SUBLANES * LANES          # 1024 sequences per group
-# Bin granularity: half the kernel chunk width.  Bins whose padded length is
-# an odd multiple of 64 stream through the kernel as full 128-position
-# chunks plus one 64-position tail chunk; the finer quantum halves the
-# dummy-column padding (the reference pads to 28-residue multiples,
-# /root/reference/host/src/sequences.c:461-463).
-LENGTH_QUANTUM = 64
+# Bin granularity: a quarter of the kernel chunk width.  Bins stream
+# through the kernel as full 128-position chunks plus one 32/64/96-position
+# tail chunk (the engines keep one flat tail-profile array per width).
+# Nearly all padding is quantum rounding (group spread after sorting is
+# ~0.6%): measured on the 300k-seq headline mix, quantum 64 -> 32 cuts
+# pad_overhead 1.120 -> 1.069 for +5 bins; 16 would only reach 1.059 for
+# +3 more bins and a third tail-shape family (diminishing).  The reference
+# pads to 28-residue multiples
+# (/root/reference/host/src/sequences.c:461-463).
+LENGTH_QUANTUM = 32
 
 # v1: original artifact (128-quantum bins, eager titles only).
 # v2: 64-quantum bins + titles_idx.npy (lazy title resolution).

@@ -422,7 +422,7 @@ def pod_shutdown_broadcast():
 
 
 def serve_forever(db, engine, host: str, port: int,
-                  warmup_qlen: int | None = 512, warmup_jobs: int = 4):
+                  warmup_qlen: int | None = 512, warmup_jobs: int = 1):
     """CLI entry: warm the compile cache, bind, serve until interrupted.
 
     Multi-process (pod) runs: every process calls this with the same

@@ -71,7 +71,11 @@ def main():
     # a separate many-short-sequences db (16 groups/slice at 1 MiB).
     rng2 = np.random.default_rng(1234)
     n2 = 20000
-    lengths2 = rng2.integers(1, 60, size=n2)
+    # lengths 33..59: every group max rounds up to ONE 64-residue bin
+    # (with the 32-residue LENGTH_QUANTUM a 1..60 spread splits into a
+    # 32- and a 64-bin whose per-bin group counts fit a single slice
+    # each, defeating the multiple-slices-per-bin requirement below)
+    lengths2 = rng2.integers(33, 60, size=n2)
     flat2 = rng2.integers(0, 20, size=int(lengths2.sum())).astype(np.int8)
     db2 = pack_sequences(flat2, lengths2, [f"t{i}" for i in range(n2)])
     e_hs = DistributedSearchEngine(
