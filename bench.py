@@ -319,15 +319,18 @@ def run_suite(db, eng, rng, on_tpu, file, single_s=None, qlen=512):
     so this mostly measures profile rebuild)."""
     from oswald_tpu.engine import SearchEngine, SearchConfig
 
-    # config 3: query-length sweep (titin-like 5478 included on TPU)
-    for qlen in ([64, 512, 2048, 5478] if on_tpu else [64]):
-        q = rng.integers(0, 23, size=qlen).astype(np.int8)
+    # config 3: query-length sweep (titin-like 5478 included on TPU).
+    # NB: the loop variable must NOT be named qlen — it would shadow the
+    # parameter the dist/scaling-model section below calibrates against
+    # (a shadowing bug here once ran that section at 5478 vs a 512 base)
+    for ql in ([64, 512, 2048, 5478] if on_tpu else [64]):
+        q = rng.integers(0, 23, size=ql).astype(np.int8)
         _retry(lambda: eng.search(q))      # compile
         t0 = time.perf_counter()
         eng.search(q)
         dt = time.perf_counter() - t0
-        print(json.dumps({"config": "qlen_sweep", "qlen": qlen,
-                          "gcups": round(qlen * db.n_residues / dt / 1e9, 2),
+        print(json.dumps({"config": "qlen_sweep", "qlen": ql,
+                          "gcups": round(ql * db.n_residues / dt / 1e9, 2),
                           "search_s": round(dt, 4)}), file=file)
 
     # pipelined single-query stream at qlen 64: the latency-hiding mode
