@@ -71,7 +71,7 @@ def _add_engine_args(sp):
     _add_cache_args(sp)
     sp.add_argument("--u-rows", type=int, default=8)
     sp.add_argument("--group-block", type=int, default=2)
-    sp.add_argument("--col-unroll", type=int, default=16,
+    sp.add_argument("--col-unroll", type=int, default=32,
                     help="DP columns per kernel loop iteration (kernel "
                          "geometry; see `oswald-tpu tune`)")
 

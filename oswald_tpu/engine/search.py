@@ -40,11 +40,12 @@ class SearchConfig:
     group_block: int = 2        # independent groups interleaved per kernel
                                 # step (VPU latency hiding); bins are padded
                                 # with score-inert dummy groups to a multiple
-    col_unroll: int = 16        # DP columns advanced per kernel loop
+    col_unroll: int = 32        # DP columns advanced per kernel loop
                                 # iteration (scheduling-barrier unroll;
-                                # measured v5e, fscan kernel body:
-                                # 4/8/16/32 -> 264/279/286/285 Gc/s);
-                                # must divide 64
+                                # round-4 A/B at the 32-residue quantum:
+                                # cu32 beats cu16, batch 370.9 vs 363.4
+                                # GCUPS — see kernels.DEFAULT_COL_UNROLL);
+                                # must divide 32 (the smallest tail chunk)
     # Query padding: m rounds up to a multiple of max(query_pad_quantum,
     # 2^floor(log2(m))/8).  The adaptive term caps dummy-row compute at
     # ~12.5% while keeping the number of distinct compiled query shapes
@@ -125,10 +126,11 @@ class SearchConfig:
                 f"group_block must be a positive integer, got "
                 f"{self.group_block!r}")
         cu = self.col_unroll
-        if not (isinstance(cu, int) and 1 <= cu <= 64 and 64 % cu == 0):
+        if not (isinstance(cu, int) and 1 <= cu <= 32 and 32 % cu == 0):
             raise ValueError(
-                f"col_unroll must be a divisor of 64, got {cu!r} (it must "
-                "divide both full 128-column and tail 64-column chunks)")
+                f"col_unroll must be a divisor of 32, got {cu!r} (it must "
+                "divide full 128-column chunks AND the 32/64/96-column "
+                "tail chunks the 32-residue bin quantum produces)")
         if not (isinstance(self.batch_query_pack_rows, int) and
                 self.batch_query_pack_rows >= 0):
             raise ValueError(

@@ -52,10 +52,14 @@ POS_PER_CHUNK = CHUNK_WIDTH * SUBLANES   # flattened (j, sublane) rows
 DEFAULT_U_ROWS = 8
 # Columns per fori iteration: the loop is a scheduling barrier while
 # consecutive columns have only a one-row-skew dependency, so unrolling
-# lets Mosaic overlap their chains.  Measured v5e (U=8 GB=2 fp32, fscan
-# body, G=64): CU 4 -> 264, 8 -> 279, 16 -> 286, 32 -> 285 Gc/s.  Owned
-# by SearchConfig.col_unroll; this is only the default.
-DEFAULT_COL_UNROLL = 16
+# lets Mosaic overlap their chains.  Round-2 kernel lab (U=8 GB=2 fp32,
+# fscan body, G=64): CU 4 -> 264, 8 -> 279, 16 -> 286, 32 -> 285 Gc/s
+# (16 ~ 32); round-4 re-tune + engine-level A/B on the 300k-seq headline:
+# CU 32 beats 16 consistently (tune 229.6 vs 222.3 Gc/s; end-to-end
+# batch 370.9 vs 363.4 GCUPS, single 310.5 vs 304.8) — the 32-residue
+# bin quantum's thinner tail chunks favor the deeper unroll.  Owned by
+# SearchConfig.col_unroll; this is only the default.
+DEFAULT_COL_UNROLL = 32
 # perf-ablation hook (bounds the profile-load cost by replacing loads with
 # a constant); patch the module attribute from an experiment script — no
 # env knobs in the kernel path

@@ -1,6 +1,6 @@
 """Device auto-tuner for the kernel geometry (`oswald-tpu tune`).
 
-The shipping defaults (u_rows=8, group_block=2, col_unroll=16) are the
+The shipping defaults (u_rows=8, group_block=2, col_unroll=32) are the
 measured optimum on TPU v5e (SCALING.md's kernel-lab ledger); other TPU
 generations have different VPU issue rates and VMEM budgets, so a
 deployment on new hardware runs `oswald-tpu tune` once and passes the
@@ -79,13 +79,20 @@ def autotune(m: int = 512, groups: int = SYNTH_G, chunks: int = 8,
     prof = jnp.stack([build_profile(jnp.asarray(seq[:, c]), sm)
                       for c in range(chunks)])
 
-    best = {"u_rows": 8, "group_block": 2, "col_unroll": 16}
+    # baseline = the shipping geometry where the axes include it, else the
+    # first entry of each (possibly monkeypatched/narrowed) axis — the
+    # baseline must be a config the descent actually measures
+    best = {"u_rows": 8 if 8 in U_ROWS_AXIS else U_ROWS_AXIS[0],
+            "group_block": 2 if 2 in GROUP_BLOCK_AXIS
+            else GROUP_BLOCK_AXIS[0],
+            "col_unroll": 32 if 32 in COL_UNROLL_AXIS
+            else COL_UNROLL_AXIS[0]}
     results = []
     ref_sum = None
 
     def try_cfg(u, gb, cu):
         nonlocal ref_sum
-        if m % u or groups % gb or 64 % cu:
+        if m % u or groups % gb or 32 % cu:
             return None
         key = (u, gb, cu)
         for r in results:                     # don't re-measure
