@@ -106,13 +106,17 @@ class SearchConfig:
     # queries fit.
     batch_query_pack_rows: int = 1024
     # One jitted program per search (bins + top-k) instead of one dispatch
-    # per bin.  None = auto: fused for short queries (m_pad <= 128, where
-    # per-bin dispatch overhead dominates the small scans; measured v5e
-    # with the flat-profile layout: qlen 64 59.6 -> 69.1 GCUPS, qlen 512
-    # parity 227 vs 229), per-bin async otherwise, never in interpret
-    # mode (one giant traced program is much slower to build on CPU).
-    # Single-chip SearchEngine only; DistributedSearchEngine always
-    # dispatches per bin.
+    # per bin.  None = auto: fused for EVERY single query in precompute
+    # mode (never in interpret mode — one giant traced program is much
+    # slower to build on CPU).  Round-3 auto fused only m_pad <= 128
+    # (qlen-512 fused measured 227 vs 229 per-bin at 12 bins); the
+    # round-4 32-residue quantum raised the bin count to 17 and fused now
+    # wins at every length (measured v5e, 300k-seq db: qlen 64
+    # 113.5 -> 117.3 GCUPS, 512 296.5 -> 301.0, 2048 369.4 -> 372.4) —
+    # and one program per pad class instead of one per (C, G) class also
+    # shrinks the warmup/compile-cache ladder ~10x.  Single-chip
+    # SearchEngine only; DistributedSearchEngine always dispatches per
+    # bin (its per-bin programs carry the collectives).
     fused_dispatch: bool | None = None
 
     def __post_init__(self):
@@ -1253,8 +1257,7 @@ class SearchEngine:
         q_pad_np = self._pad_query(query)
         fused = self.config.fused_dispatch
         if fused is None:           # auto: see SearchConfig.fused_dispatch
-            fused = (self.mode == "precompute" and
-                     not self._interpret and q_pad_np.shape[0] <= 128)
+            fused = self.mode == "precompute" and not self._interpret
         if fused:
             q_pad = jnp.asarray(q_pad_np)
             nb = nb_or_none(np.asarray(query).size, q_pad_np.shape[0],
