@@ -13,14 +13,18 @@ pod run must reproduce (or refute):
        + t_overhead                         measured mesh=1 dispatch +
                                             shard_map + readback overhead
                                             (same dispatch count at any N)
-       + sum_b [(N-1)*hop + ag_bytes_b(N)/bw]   ring all-gather of the
+       + (N-1)*hop + ag_bytes(N)/bw         ONE ring all-gather of the
                                             packed [2, k+2] int32
-                                            candidates per bin
+                                            candidates per search (the
+                                            fused dispatch merges every
+                                            bin's local top-k before the
+                                            collective, dist/shard.py
+                                            _fused_fn)
 
 where infl_b(N) = ceil(G_b/N)*N / G_b (shard_groups pads each bin's group
 count to a mesh multiple — the exact analog of the reference rounding its
-chunk count to a device multiple, sequences.c:913-918), and ag_bytes_b(N)
-= 8*(k+2)*(N-1) bytes cross each device's ICI links per bin.
+chunk count to a device multiple, sequences.c:913-918), and ag_bytes(N)
+= 8*(k+2)*(N-1) bytes cross each device's ICI links per search.
 
 The model's N=1 prediction reproduces the measured mesh=1 time by
 construction (that calibrates t_overhead); N in {8, 64, 256} are the
@@ -50,7 +54,7 @@ class BinRow:
 @dataclasses.dataclass
 class Projection:
     n_bins: int
-    dispatches: int         # programs per search (bins + concat)
+    dispatches: int         # programs per search (1: fused dispatch)
     t_single_s: float       # measured single-chip search seconds
     t_mesh1_s: float        # measured mesh=1 distributed search seconds
     overhead_s: float       # t_mesh1 - t_single (dispatch + shard_map)
@@ -83,20 +87,21 @@ def scaling_projection(db, k: int, qlen: int, t_single_s: float,
             for L, g in geoms]
     for n in n_list:
         t_comp = 0.0
-        t_ici = 0.0
+        ag = payload * (n - 1)
         for row, (L, g) in zip(rows, geoms):
             infl = (-(-g // n) * n) / g          # shard_groups padding
             row.inflation[n] = round(infl, 4)
-            ag = payload * (n - 1)
             row.ag_bytes_per_dev[n] = ag
             t_b = t_single_s * (g * L) / total_padcells
             t_comp += t_b * infl / n
-            t_ici += (n - 1) * ici_hop_s + ag / ici_bytes_per_s
+        # ONE collective per search (fused dispatch): a ring all-gather
+        # of the shard-local candidate block
+        t_ici = (n - 1) * ici_hop_s + ag / ici_bytes_per_s
         t = t_comp + overhead + t_ici
         t_proj[n] = t
         eff[n] = (t_single_s / n) / t if t > 0 else 0.0
         gc[n] = qlen * db.n_residues / t / 1e9 if t > 0 else 0.0
-    return Projection(n_bins=len(geoms), dispatches=len(geoms) + 1,
+    return Projection(n_bins=len(geoms), dispatches=1,
                       t_single_s=t_single_s, t_mesh1_s=t_mesh1_s,
                       overhead_s=overhead, bins=rows, t_proj_s=t_proj,
                       efficiency=eff, gcups=gc)

@@ -576,6 +576,77 @@ class DistributedSearchEngine:
         self._bin_fns[key] = fn
         return fn
 
+    def _fused_fn(self, k: int, skip: bool):
+        """One compiled shard_map for a WHOLE single-query search: every
+        bin's scan, ONE local top-k over the shard's full slot vector,
+        ONE all_gather + global top-k, one psum'd moment block — the
+        distributed analog of SearchEngine._search_fn.  Replaces 17+
+        per-bin programs (each with its own collective) with one program
+        and one collective per search; tie-break parity holds because a
+        shard's local slot order is ascending sorted-id order (its bin
+        slices ascend by bin, and ids ascend within a slice), so the
+        local top-k keeps each shard's lowest-id boundary ties exactly
+        like the single-chip flat top-k does."""
+        key = ("fused", k, skip)
+        if key in self._bin_fns:
+            return self._bin_fns[key]
+        u_rows, interpret = self.config.u_rows, self._interpret
+        gb, acc, cu, na = (self.config.group_block, self._acc,
+                           self.config.col_unroll, self._noadj)
+        precompute = self.mode == "precompute"
+        bin_lengths = tuple(self.db.bin_lengths)
+        bin_geom = dict(self.bin_geom)
+
+        def inner(q_pad, nb, gaps, submat, data, ids, lnl_table):
+            flats, id_parts = [], []
+            for i, L in enumerate(bin_lengths):
+                if precompute:
+                    prof_flat, tail_flats = data
+                    off, C, G_loc, toff, tw = bin_geom[L]
+                    s = _search_bin_flat_impl(
+                        q_pad, gaps, prof_flat,
+                        tail_flats[tw] if toff is not None else None,
+                        off, C, G_loc, toff, u_rows, interpret, gb, acc,
+                        cu, na, nb=nb)
+                else:
+                    main, tail = data[L]
+                    s = _search_bin_stream_impl(
+                        q_pad, gaps, submat, main, u_rows, interpret,
+                        gb, acc, tail, cu, na, nb=nb)
+                flats.append(s.reshape(-1))
+                id_parts.append(ids[i].reshape(-1))
+            flat = jnp.concatenate(flats)
+            idsf = jnp.concatenate(id_parts)
+            masked = jnp.where(idsf >= 0, flat, -1)
+            kk = min(k, flat.shape[0])
+            loc_s, loc_i = jax.lax.top_k(masked, kk)
+            loc_ids = jnp.take(idsf, loc_i)
+            all_s = jax.lax.all_gather(loc_s, AXIS, tiled=True)
+            all_ids = jax.lax.all_gather(loc_ids, AXIS, tiled=True)
+            top_s, top_i = jax.lax.top_k(all_s, min(k, all_s.shape[0]))
+            packed = jnp.stack([top_s, jnp.take(all_ids, top_i)])
+            return jnp.concatenate(
+                [packed, _psum_moments_col(flat, idsf, lnl_table, 2)],
+                axis=-1)
+
+        if precompute:
+            data_spec = (P(AXIS), P(AXIS))      # prefix: flat + tail dict
+        else:
+            data_spec = {L: (P(None, AXIS), P(AXIS)) for L in bin_lengths}
+        ids_spec = tuple(P(AXIS) for _ in bin_lengths)
+        if skip:
+            local_fn = inner
+            specs = (P(), P(), P(), P(), data_spec, ids_spec, P())
+        else:
+            local_fn = lambda q_pad, gaps, submat, data, ids, lnl_table: \
+                inner(q_pad, None, gaps, submat, data, ids, lnl_table)
+            specs = (P(), P(), P(), data_spec, ids_spec, P())
+        fn = jax.jit(jax.shard_map(
+            local_fn, mesh=self.mesh, in_specs=specs, out_specs=P(),
+            check_vma=False))
+        self._bin_fns[key] = fn
+        return fn
+
     def _bin_scores_fn(self, L: int, skip: bool):
         """Compiled per-bin shard_map returning the FULL slot-score vector
         (all_gathered over the mesh, replicated) — the diagnostic analog
@@ -679,6 +750,23 @@ class DistributedSearchEngine:
             done = (scores, ids, float(msum[0]), float(msumsq[0]),
                     float(mslnl[0]))
             return (query, query_title, t0, k, None, None, done)
+        fused = self.config.fused_dispatch
+        if fused is None:
+            # auto: one fused program + ONE collective per search (see
+            # _fused_fn) whenever the whole database is device-resident;
+            # never in interpret mode (a giant traced program is much
+            # slower to build on CPU than its dispatch savings)
+            fused = not self._interpret and bool(self.db.bin_lengths)
+        if fused and self.db.bin_lengths:
+            data = (self.prof_flat, self.tail_flats) if \
+                self.mode == "precompute" else self.seq_stacks
+            q_args = (q_pad,) + (() if nb is None else (nb,))
+            arr = self._fused_fn(k, nb is not None)(
+                *q_args, self.gaps, self.submat_dev, data,
+                tuple(self.ids[L] for L in self.db.bin_lengths),
+                self.lnl_table)
+            return (query, query_title, t0, k, arr,
+                    [int(arr.shape[-1])], None)
         cands = []
         for L in self.db.bin_lengths:
             data = (self.prof_flat, self._bin_tail(L)) if \

@@ -114,9 +114,10 @@ class SearchConfig:
     # wins at every length (measured v5e, 300k-seq db: qlen 64
     # 113.5 -> 117.3 GCUPS, 512 296.5 -> 301.0, 2048 369.4 -> 372.4) —
     # and one program per pad class instead of one per (C, G) class also
-    # shrinks the warmup/compile-cache ladder ~10x.  Single-chip
-    # SearchEngine only; DistributedSearchEngine always dispatches per
-    # bin (its per-bin programs carry the collectives).
+    # shrinks the warmup/compile-cache ladder ~10x.
+    # DistributedSearchEngine fuses too (dist/shard.py _fused_fn): one
+    # shard_map program AND one collective merge per search instead of
+    # one of each per bin (host_stream keeps its own slice pipeline).
     fused_dispatch: bool | None = None
 
     def __post_init__(self):

@@ -57,6 +57,34 @@ def test_distributed_matches_single_chip(rng, profile_mode):
     assert r1.titles == r2.titles
 
 
+@pytest.mark.parametrize("profile_mode", ["precompute", "stream"])
+def test_dist_fused_dispatch_matches_per_bin(rng, profile_mode):
+    """The fused whole-search shard_map program (one collective merge)
+    must match the per-bin path bit-for-bit, including tie-breaks and
+    the moments that feed the significance fit — on a multi-bin db with
+    tail chunks and a dummy-block-skip query length."""
+    db, seqs, lengths = _make_db(rng, 2100, 180, bin_cost=1)
+    assert len(db.bin_lengths) > 1
+    per_bin = DistributedSearchEngine(
+        db, SearchConfig(top=12, profile_mode=profile_mode,
+                         fused_dispatch=False))
+    fused = DistributedSearchEngine(
+        db, SearchConfig(top=12, profile_mode=profile_mode,
+                         fused_dispatch=True))
+    for qlen in (77, 64):            # skip variant + branch-free variant
+        q = random_protein(rng, qlen)
+        r1, r2 = per_bin.search(q), fused.search(q)
+        np.testing.assert_array_equal(r1.scores, r2.scores)
+        np.testing.assert_array_equal(np.asarray(r1.seq_ids),
+                                      np.asarray(r2.seq_ids))
+        assert r1.titles == r2.titles
+        if r1.evalues is not None:
+            # the score moments are fp32 sums: per-bin partials (per-bin
+            # path) vs one flat sum (fused) round differently at ~1e-5
+            # relative — scores/ranks above are still bit-identical
+            np.testing.assert_allclose(r1.evalues, r2.evalues, rtol=1e-3)
+
+
 def test_distributed_matches_oracle_topk(rng):
     db, seqs, lengths = _make_db(rng, 600, 90)
     cfg = SearchConfig(top=5)

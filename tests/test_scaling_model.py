@@ -35,7 +35,7 @@ def test_model_reproduces_mesh1_and_projects(rng):
         # inflation is exactly ceil(G/N)*N/G
         g = row.groups
         assert row.inflation[8] == round((-(-g // 8) * 8) / g, 4)
-    assert p.dispatches == p.n_bins + 1
+    assert p.dispatches == 1        # fused dispatch: one program
 
 
 def test_model_efficiency_ceiling_zero_overhead(rng):
