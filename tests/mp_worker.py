@@ -52,6 +52,20 @@ def main():
     rb = eng.search_many([q1, q2], batch=True)
     assert np.array_equal(rb[0].scores, r1.scores), (rb[0].scores, r1.scores)
 
+    # fused dispatch under process_count == 2: one shard_map program +
+    # one collective per search (dist/shard.py _fused_fn) must produce
+    # identical results with REAL cross-process Gloo collectives — this
+    # is the pod-serving dispatch shape (auto keeps per-bin in interpret
+    # mode, so force it here)
+    e_fused = DistributedSearchEngine(
+        db, SearchConfig(top=12, fused_dispatch=True), mesh=mesh)
+    for q, ref in ((q1, r1), (q2, rb[1])):
+        r = e_fused.search(q)
+        assert np.array_equal(r.scores, ref.scores), (r.scores, ref.scores)
+        assert np.array_equal(np.asarray(r.seq_ids),
+                              np.asarray(ref.seq_ids))
+    del e_fused
+
     # stream under process_count == 2 (same db, same expected results)
     e_stream = DistributedSearchEngine(
         db, SearchConfig(top=12, profile_mode="stream"), mesh=mesh)
