@@ -186,7 +186,7 @@ def main():
 
     if args.suite:
         run_suite(db, eng, rng, on_tpu, file=sys.stderr,
-                  single_s=dt, qlen=args.qlen)
+                  single_s=dt, qlen=args.qlen, batch_s=bdt, batch_n=nq)
 
     # the parity certificate rides the recorded tail next to the number it
     # certifies (VERDICT r2 item 1)
@@ -326,7 +326,8 @@ def run_realistic(args, on_tpu, parity):
         return 0 if ok else 3
 
 
-def run_suite(db, eng, rng, on_tpu, file, single_s=None, qlen=512):
+def run_suite(db, eng, rng, on_tpu, file, single_s=None, qlen=512,
+              batch_s=0.0, batch_n=0):
     """BASELINE.json configs 3 and 4: query-length sweep and multi-query
     batch; plus a matrix sweep (compiled programs are matrix-independent,
     so this mostly measures profile rebuild)."""
@@ -468,7 +469,9 @@ def run_suite(db, eng, rng, on_tpu, file, single_s=None, qlen=512):
     if single_s is not None:
         from oswald_tpu.dist.model import scaling_projection
         proj = scaling_projection(db, k=de.config.top, qlen=qlen,
-                                  t_single_s=single_s, t_mesh1_s=dt)
+                                  t_single_s=single_s, t_mesh1_s=dt,
+                                  group_block=de.config.group_block,
+                                  t_batch_s=batch_s, batch_n=batch_n)
         if dt >= single_s:
             # mesh1 slower than single-chip (the normal case): the model
             # must reproduce the measured N=1 number exactly.  The other
@@ -480,7 +483,7 @@ def run_suite(db, eng, rng, on_tpu, file, single_s=None, qlen=512):
             "config": "scaling_model", "dispatches": proj.dispatches,
             "n_bins": proj.n_bins,
             "mesh1_overhead_s": round(proj.overhead_s, 4),
-            "ag_bytes_per_dev_per_bin_n8": 8 * (de.config.top + 2) * 7,
+            "ag_bytes_per_dev_n8": proj.ag_bytes_per_dev.get(8),
             "projections": proj.rows()}), file=file)
     del de
     gc.collect()

@@ -149,6 +149,11 @@ def build_parser():
                          "preprocessed by the reference OSWALD "
                          "(<input>.desc/.info/.seq) instead of FASTA — "
                          "migrate without re-preprocessing")
+    pp.add_argument("--to-oswald", action="store_true",
+                    help="ALSO write the reference's "
+                         "<output>.desc/.info/.seq triple next to the "
+                         ".oswt — migrate back to OSWALD without the raw "
+                         "FASTA")
 
     sp = sub.add_parser("search", help="search a packed database")
     _add_search_args(sp)
@@ -187,6 +192,22 @@ def build_parser():
     tn.add_argument("--json", action="store_true",
                     help="print the full result object as JSON")
     _add_cache_args(tn)
+
+    ca = sub.add_parser(
+        "cache",
+        help="manage the persistent compiled-program cache (pack a "
+             "warmed cache into a shippable artifact / pre-seed a fresh "
+             "deployment from one — the analog of the reference shipping "
+             "its precompiled sw.aocx, utils.c:144-150)")
+    ca.add_argument("action", choices=("pack", "unpack", "info"),
+                    help="pack: cache dir -> tar.gz; unpack: tar.gz -> "
+                         "cache dir (existing entries kept); info: entry "
+                         "count and size")
+    ca.add_argument("tar", nargs="?", default=None,
+                    help="tarball path (required for pack/unpack)")
+    ca.add_argument("--overwrite", action="store_true",
+                    help="unpack: replace existing cache entries")
+    _add_cache_args(ca)
     return p
 
 
@@ -247,22 +268,27 @@ def cmd_preprocess(args):
             db = import_reference_db(args.input)
             save_db(db, args.output)
             print(f"oswald-tpu preprocess: wrote {args.output}.oswt")
-            return 0
-        size = os.path.getsize(args.input) \
-            if os.path.exists(args.input) else 0
-        if size:
-            with open(args.input, "rb") as fh:
-                head = fh.read(6)
-            if head[:2] == b"\x1f\x8b" or head[:3] == b"BZh" \
-                    or head[:6] == b"\xfd7zXZ\x00":
-                size *= 4      # compressed: judge by ~decompressed size
-        streaming = args.streaming or size > 2 << 30
-        if streaming:
-            from oswald_tpu.io.stream import preprocess_db_streaming
-            preprocess_db_streaming(args.input, args.output)
         else:
-            from oswald_tpu.io.db import preprocess_db
-            preprocess_db(args.input, args.output)
+            size = os.path.getsize(args.input) \
+                if os.path.exists(args.input) else 0
+            if size:
+                with open(args.input, "rb") as fh:
+                    head = fh.read(6)
+                if head[:2] == b"\x1f\x8b" or head[:3] == b"BZh" \
+                        or head[:6] == b"\xfd7zXZ\x00":
+                    size *= 4    # compressed: judge by ~decompressed size
+            streaming = args.streaming or size > 2 << 30
+            if streaming:
+                from oswald_tpu.io.stream import preprocess_db_streaming
+                preprocess_db_streaming(args.input, args.output)
+            else:
+                from oswald_tpu.io.db import preprocess_db
+                preprocess_db(args.input, args.output)
+        if args.to_oswald:
+            # read back the artifact (mmap) so the export path is the
+            # same for in-core, streaming, and imported builds
+            from oswald_tpu.io.db import load_db, export_reference_db
+            export_reference_db(load_db(args.output), args.output)
     return 0
 
 
@@ -449,12 +475,36 @@ def cmd_tune(args):
     return 0
 
 
+def cmd_cache(args):
+    from oswald_tpu.utils.compile_cache import (pack_cache, unpack_cache,
+                                                cache_stats)
+    d = getattr(args, "compile_cache", None)
+    with _user_errors():
+        if args.action == "info":
+            st = cache_stats(d)
+            print(f"compile cache: {st['dir']} ({st['entries']} programs, "
+                  f"{st['bytes'] / 2**20:.1f} MiB)")
+            return 0
+        if not args.tar:
+            raise ValueError(f"cache {args.action} requires a tarball "
+                             "path argument")
+        if args.action == "pack":
+            out = pack_cache(args.tar, d)
+            print(f"packed {out['entries']} compiled programs "
+                  f"({out['bytes'] / 2**20:.1f} MiB) -> {out['tar']}")
+        else:
+            out = unpack_cache(args.tar, d, overwrite=args.overwrite)
+            print(f"unpacked {out['extracted']} programs into "
+                  f"{out['dir']} ({out['skipped']} already present)")
+    return 0
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     try:
         return {"preprocess": cmd_preprocess, "search": cmd_search,
                 "serve": cmd_serve, "info": cmd_info,
-                "tune": cmd_tune}[args.op](args)
+                "tune": cmd_tune, "cache": cmd_cache}[args.op](args)
     except _CLIError as e:
         print(f"oswald-tpu: error: {e}", file=sys.stderr)
         return 2

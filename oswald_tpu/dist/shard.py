@@ -38,6 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from oswald_tpu.alphabet import DUMMY
 from oswald_tpu.submat import get_submat
 from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
+from oswald_tpu.dist.repack import repack_for_mesh
 from oswald_tpu.kernels import build_profile, noadj_ok, CHUNK_WIDTH
 from oswald_tpu.engine.search import (
     SearchConfig, SearchResult, _search_bin_stream_impl,
@@ -184,10 +185,19 @@ class DistributedSearchEngine:
 
     def __init__(self, db: PackedDB, config: SearchConfig = None,
                  mesh: Mesh = None):
-        self.db = db
         self.config = config or SearchConfig()
         self.mesh = mesh if mesh is not None else make_device_mesh()
         self.ndev = self.mesh.devices.size
+        # mesh-adaptive bin geometry (dist/repack.py): merge bins so the
+        # ndev*group_block group rounding stops dominating small
+        # databases — the analog of the reference adapting its chunk size
+        # to the device count (sequences.c:913-918).  Exact (dummy
+        # padding is score-inert); self.db is the merged view, the
+        # original is kept for alignment/title lookups (identical
+        # sequences either way).
+        self.src_db = db
+        self.db = db = repack_for_mesh(
+            db, self.ndev * self.config.group_block)
         self.submat = get_submat(self.config.matrix)
         self._interpret = self.config.resolved_interpret()
         # fp32 demotes to int32 past the float32 exact-integer bound
@@ -206,7 +216,8 @@ class DistributedSearchEngine:
         if self.mode == "auto":
             plan = plan_profile_mode(db, self.config.hbm_budget_bytes,
                                      n_devices=self.ndev,
-                                     max_query_len=self.config.max_query_len)
+                                     max_query_len=self.config.max_query_len,
+                                     config=self.config)
             self.mode = plan.mode
             if jax.process_index() == 0:
                 print(f"oswald-tpu dist engine [{self.ndev} devices]: "
@@ -896,6 +907,17 @@ class DistributedSearchEngine:
         collectives in a nondeterministic order across ranks (a deadlock
         on a real multi-process mesh); raise it only on single-process
         meshes.  Returns the padded lengths compiled."""
+        if jobs > 1 and jax.process_count() > 1:
+            # enforce the constraint, don't just document it: a thread
+            # pool enqueues collective programs in a nondeterministic
+            # order across ranks, which deadlocks a real multi-process
+            # mesh
+            raise ValueError(
+                f"warmup(jobs={jobs}) is not allowed on a multi-process "
+                f"mesh (process_count={jax.process_count()}): parallel "
+                "warmup enqueues collective programs in different orders "
+                "on different ranks, which deadlocks the pod — call "
+                "warmup(jobs=1) on every rank instead")
         from oswald_tpu.engine.search import warmup_engine
         return warmup_engine(self, max_query_len, batch, log, jobs=jobs)
 

@@ -57,14 +57,35 @@ GROUP_LANES = 1024
 ACC_BYTES = 4
 
 
-def padded_query_rows(max_query_len: int) -> int:
-    """Padded row count for a query of this true length — the same
-    adaptive quantum as engine.pad_query (quantum = max(64,
+def padded_query_rows(max_query_len: int, pad_quantum: int = 64,
+                      batch_pad_quantum: int = 64, u_rows: int = 8,
+                      pack_rows: int = 1024) -> int:
+    """WORST-CASE padded row count the engine can allocate scan state for
+    at this max query length — the same adaptive quantum formula as
+    engine.pad_query (quantum = max(configured quantum, u_rows,
     2^floor(log2(m))/8)), without importing the engine (which imports
-    this module)."""
+    this module).  The engine's effective quanta are passed in (an engine
+    configured with query_pad_quantum=1024 pads titin to 6144 rows, not
+    the default formula's 5632 — budgeting the default would re-open the
+    query-time-OOM window the residency guarantee closes); the packed
+    batch path's row budget (batch_query_pack_rows, bounded by
+    mixed_pack_plan to whole multiples of u_rows) also caps scan state,
+    so the max over all three paths is returned."""
     m = max(int(max_query_len), 1)
-    quantum = max(64, (1 << max(m.bit_length() - 1, 0)) // 8)
-    return -(-m // quantum) * quantum
+    adaptive = (1 << max(m.bit_length() - 1, 0)) // 8
+
+    def rows(base):
+        quantum = max(int(base), int(u_rows), adaptive)
+        return -(-m // quantum) * quantum
+
+    worst = max(rows(pad_quantum), rows(batch_pad_quantum))
+    if pack_rows and pack_rows // max(u_rows, 1) >= 2:
+        # packed bins hold up to pack_rows rows (pow2-laddered, never past
+        # the cap) when at least two row blocks fit — see mixed_pack_plan;
+        # a short-max_query_len engine can still fill a full pack with
+        # many short queries, so the cap itself is the worst case
+        worst = max(worst, int(pack_rows))
+    return worst
 
 
 def device_hbm_bytes(device=None) -> int:
@@ -130,20 +151,30 @@ class Plan:
 
 def plan_profile_mode(db, hbm_bytes: int | None = None,
                       n_devices: int = 1,
-                      max_query_len: int | None = None) -> Plan:
+                      max_query_len: int | None = None,
+                      config=None) -> Plan:
     """Pick the fastest data mode whose residency fits the HBM budget.
 
     n_devices: the database's group axis shards evenly across the mesh, so
     each device holds a 1/n share (distributed engines pass their mesh
     size).  max_query_len: the longest query the engine will accept
     (SearchConfig.max_query_len); scan state is budgeted for it so a
-    long query can never OOM a database the planner declared resident."""
+    long query can never OOM a database the planner declared resident.
+    config: the engine's SearchConfig, whose pad quanta / pack cap set the
+    TRUE worst-case padded row count (see padded_query_rows)."""
     mq = max_query_len if max_query_len is not None else \
         MAX_QUERY_LEN_DEFAULT
     budget = int(SAFETY_FRACTION * (hbm_bytes if hbm_bytes is not None
                                     else device_hbm_bytes()))
     share = -(-db_padded_bytes(db) // max(n_devices, 1))
-    state = _scan_state_bytes(db, max(n_devices, 1), padded_query_rows(mq))
+    if config is not None:
+        rows = padded_query_rows(
+            mq, pad_quantum=config.query_pad_quantum,
+            batch_pad_quantum=config.batch_query_pad_quantum,
+            u_rows=config.u_rows, pack_rows=config.batch_query_pack_rows)
+    else:
+        rows = padded_query_rows(mq)
+    state = _scan_state_bytes(db, max(n_devices, 1), rows)
     prof = ALPHA_ROWS * share
     if prof + state <= budget:
         mode = "precompute"

@@ -246,6 +246,12 @@ class SearchResult:
     bit_scores: np.ndarray | None = None   # float64[k]
     stats: object | None = None            # stats.ScoreStats
 
+    def per_query_elapsed(self) -> float:
+        """Amortised per-query wall seconds (elapsed / batch_n) — the
+        deliberate way to compute a rate from a batched result (see
+        `elapsed`; for single searches this is just elapsed)."""
+        return self.elapsed / max(self.batch_n, 1)
+
 
 def _db_len_stats(db):
     """Static per-database length terms for the significance fit: the
@@ -525,6 +531,26 @@ def _search_bin_hostslice_impl(q_batch, gaps, submat, seq_slice, u_rows,
     return scores
 
 
+def _search_bin_hostflat_impl(q_batch, gaps, submat, buf, off, Gs, L,
+                              u_rows, interpret, group_block=1,
+                              acc_dtype=jnp.int32, col_unroll=16,
+                              noadj=False, nbs=None):
+    """`_search_bin_hostslice_impl` over a SPAN of a coalesced transfer
+    buffer: buf is one flat int8 array holding whole groups from SEVERAL
+    bins (one host->device transfer per byte-budget slice, matching the
+    reference's fixed-size chunks that ignore sequence-group boundaries,
+    /root/reference/host/src/FPGAsearch.c:180-237 + sequences.c:505-541);
+    the span's [Gs, L, 8, 128] window is dynamic-sliced out ON DEVICE (a
+    traced byte offset, so spans sharing (Gs, L) share one compiled
+    program regardless of where they sit in the buffer)."""
+    nbytes = Gs * L * SUBLANES * LANES
+    seq_slice = jax.lax.dynamic_slice(buf, (off,), (nbytes,)).reshape(
+        Gs, L, SUBLANES, LANES)
+    return _search_bin_hostslice_impl(
+        q_batch, gaps, submat, seq_slice, u_rows, interpret, group_block,
+        acc_dtype, col_unroll, noadj, nbs=nbs)
+
+
 def _search_bin_flat_impl(q_pad, gaps, prof_flat, tail_flat, off, C, G,
                           toff, u_rows, interpret, group_block=1,
                           acc_dtype=jnp.int32, col_unroll=16, noadj=False,
@@ -608,6 +634,8 @@ _search_bin_stream_pack = jax.jit(_search_bin_stream_pack_impl,
                                   static_argnames=_STATIC + ("q_segs",))
 _search_bin_hostslice = jax.jit(_search_bin_hostslice_impl,
                                 static_argnames=_STATIC)
+_search_bin_hostflat = jax.jit(_search_bin_hostflat_impl,
+                               static_argnames=_STATIC + ("Gs", "L"))
 _search_bin_flat = jax.jit(_search_bin_flat_impl,
                            static_argnames=_FLAT_STATIC)
 _search_bin_flat_batch = jax.jit(_search_bin_flat_batch_impl,
@@ -968,7 +996,8 @@ class SearchEngine:
         self.mode = self.config.profile_mode
         if self.mode == "auto":
             plan = plan_profile_mode(db, self.config.hbm_budget_bytes,
-                                     max_query_len=self.config.max_query_len)
+                                     max_query_len=self.config.max_query_len,
+                                     config=self.config)
             self.mode = plan.mode
             # stderr: --json runs must keep stdout machine-readable
             print(f"oswald-tpu engine: {plan.describe()}", file=sys.stderr)
@@ -982,7 +1011,7 @@ class SearchEngine:
         self.metrics = Metrics()
         gb = self.config.group_block
         self.seq_stacks = {}
-        self.host_slices = {}
+        self._hs_slices = []            # host_stream: [(buf_bytes, spans)]
         # precompute mode: engine-wide FLAT profile arrays + per-bin
         # geometry (see _search_bin_flat_impl).  Any device op whose shape
         # depends on the bin recompiles per bin — with ~19 bins that made
@@ -1001,10 +1030,9 @@ class SearchEngine:
         coff = 0
         ids_flat = []
         t_setup = time.perf_counter()
-        for L in db.bin_lengths:
-            if self.mode == "host_stream":
-                ids_flat.extend(self._init_host_stream_bin(L))
-                continue
+        if self.mode == "host_stream":
+            ids_flat = self._init_host_stream()
+        for L in (() if self.mode == "host_stream" else db.bin_lengths):
             seq_np = np.asarray(db.bins[L]["seq"])
             ids_np = np.asarray(db.bins[L]["id"])
             G = seq_np.shape[0]
@@ -1072,90 +1100,164 @@ class SearchEngine:
         self._search_fns = {}
         self.metrics.add("engine_setup", time.perf_counter() - t_setup)
 
-    def _init_host_stream_bin(self, L: int):
-        """Cut bin L into host-side group slices for streaming transfer.
+    def _init_host_stream(self):
+        """Cut the WHOLE database into coalesced transfer slices.
 
-        Full slices stay views of the (mmap-backed) storage array — no host
-        RAM copy; only a final partial slice is materialised to pad its
-        group count to a group_block multiple.  Returns the per-slice id
-        rows for ids_flat (slot order must match the score layout)."""
+        A slice is ONE flat int8 transfer buffer of up to
+        host_stream_slice_mb MiB holding whole groups from one or more
+        bins — cross-bin coalescing: per-BIN slices (rounds 2-4) became
+        small once the 32-residue quantum produced ~17 thin bins, and
+        their per-transfer overhead rivalled the compute they overlap;
+        the reference's fixed-size chunks likewise ignore group
+        boundaries (/root/reference/host/src/FPGAsearch.c:180-237,
+        sequences.c:505-541).  Each slice holds SPANS — (L, Gs, byte_off,
+        src_lo, take) group windows of one bin — whose compute programs
+        dynamic-slice their window out of the transferred buffer (traced
+        offset: spans sharing (Gs, L) share one compiled program).  Full
+        slices all pad to ONE static buffer size (the budget) and the
+        final partial slice to an adaptive-eighth rung, so the distinct
+        compiled buffer shapes stay ~2.  Returns the per-span id rows for
+        ids_flat (slot order matches the span score layout)."""
         gb = self.config.group_block
-        seq_np = self.db.bins[L]["seq"]           # keep mmap, no asarray
-        ids_np = np.asarray(self.db.bins[L]["id"])
-        G = seq_np.shape[0]
-        per_group = L * SUBLANES * LANES
-        S = max(gb, (self.config.host_stream_slice_mb << 20)
-                // per_group // gb * gb)
-        slices, ids_out = [], []
-        for lo in range(0, G, S):
-            hi = min(lo + S, G)
-            Gs_pad = -(-(hi - lo) // gb) * gb
-            if Gs_pad != hi - lo:
-                arr = np.full((Gs_pad, L, SUBLANES, LANES), DUMMY, np.int8)
-                arr[:hi - lo] = seq_np[lo:hi]
-                ids_s = np.concatenate(
-                    [ids_np[lo:hi],
-                     np.full((Gs_pad - (hi - lo), SUBLANES, LANES), -1,
-                             np.int32)])
+        budget = self.config.host_stream_slice_mb << 20
+        lanes = SUBLANES * LANES
+        slices, cur, cur_bytes = [], [], 0
+        ids_out = []
+
+        def close(final=False):
+            nonlocal cur, cur_bytes
+            if not cur:
+                return
+            if final:
+                # adaptive-eighth rung bounds distinct final-slice shapes
+                rung = max(1, (1 << max(cur_bytes.bit_length() - 1, 0))
+                           // 8)
+                size = -(-cur_bytes // rung) * rung
             else:
-                arr = seq_np[lo:hi]
-                ids_s = ids_np[lo:hi]
-            slices.append(arr)
-            ids_out.append(ids_s.reshape(-1))
-        self.host_slices[L] = slices
+                size = max(budget, cur_bytes)
+            slices.append((size, cur))
+            cur, cur_bytes = [], 0
+
+        for L in self.db.bin_lengths:
+            seq_np = self.db.bins[L]["seq"]       # keep mmap, no asarray
+            ids_np = np.asarray(self.db.bins[L]["id"])
+            G = seq_np.shape[0]
+            per_group = L * lanes
+            lo = 0
+            while lo < G:
+                room = (budget - cur_bytes) // per_group // gb * gb
+                if room < gb:
+                    if cur:
+                        close()
+                        continue
+                    room = gb          # groups bigger than the budget:
+                                       # a one-span oversized slice
+                take = min(room, G - lo)
+                Gs = -(-take // gb) * gb
+                cur.append((L, Gs, cur_bytes, lo, take))
+                cur_bytes += Gs * per_group
+                ids_s = ids_np[lo:lo + take].reshape(-1)
+                if Gs != take:
+                    ids_s = np.concatenate(
+                        [ids_s, np.full((Gs - take) * lanes, -1, np.int32)])
+                ids_out.append(ids_s)
+                lo += take
+        close(final=True)
+        self._hs_slices = slices
         return ids_out
 
-    def _host_stream_scores(self, q_batch, nbs=None) -> np.ndarray:
-        """int32[Q, n_slots] scores with the database streamed host->device
-        slice by slice, double-buffered: slice i+1's transfer is enqueued
-        before slice i's compute dispatch, and the host blocks only on
-        slice i-1's (tiny) score readback — so at most two slices plus one
-        program's scan state live in HBM at any time, regardless of
-        database size.  The reference's analog is its per-chunk
-        clEnqueueWriteBuffer round (FPGAsearch.c:180-237)."""
-        qb = jnp.asarray(q_batch)
-        Q = qb.shape[0]
-        if nbs is not None:
-            nbs = jnp.asarray(nbs, jnp.int32)
-        flat = [(L, arr) for L in self.db.bin_lengths
-                for arr in self.host_slices[L]]
+    def _hs_assemble(self, buf_bytes: int, spans):
+        """Enqueue one coalesced slice's host->device transfer (a single
+        flat int8 array).  A whole-bin single-span slice with no group
+        padding transfers the mmap view directly (zero host copy); mixed
+        slices assemble their spans into one buffer — DUMMY-filling only
+        the padded-group extents (gap/tail bytes are never read by any
+        span program)."""
+        lanes = SUBLANES * LANES
+        if len(spans) == 1:
+            L, Gs, off, lo, take = spans[0]
+            if Gs == take and buf_bytes == Gs * L * lanes:
+                return jax.device_put(np.asarray(
+                    self.db.bins[L]["seq"][lo:lo + take]).reshape(-1))
+        buf = np.empty(buf_bytes, np.int8)
+        for L, Gs, off, lo, take in spans:
+            pg = L * lanes
+            buf[off:off + take * pg] = np.asarray(
+                self.db.bins[L]["seq"][lo:lo + take]).reshape(-1)
+            if Gs != take:
+                buf[off + take * pg:off + Gs * pg] = DUMMY
+        return jax.device_put(buf)
+
+    def _host_stream_scores_multi(self, classes):
+        """One streaming sweep of the database for SEVERAL query classes
+        at once: every slice is transferred ONCE and scanned by each
+        class's programs (the batched path used to sweep the whole
+        database once per padded-length class), double-buffered — slice
+        i+1's transfer is enqueued before slice i's compute dispatch, and
+        the host blocks only on slice i-1's score readbacks, so at most
+        two slices plus the scan state live in HBM at any time.  classes:
+        [(q_batch [Q, m_pad], nbs | None)]; returns one int32[Q, n_slots]
+        per class."""
         cfg = self.config
-        outs = []
+        cls = [(jnp.asarray(qb),
+                None if nbs is None else jnp.asarray(nbs, jnp.int32))
+               for qb, nbs in classes]
+        outs = [[] for _ in cls]
+
+        def dispatch(dev, spans):
+            res = []
+            for ci, (qb, nbs) in enumerate(cls):
+                for L, Gs, off, lo, take in spans:
+                    s = _search_bin_hostflat(
+                        qb, self.gaps, self.submat_dev, dev,
+                        jnp.asarray(off, jnp.int32), Gs=Gs, L=L,
+                        u_rows=cfg.u_rows, interpret=self._interpret,
+                        group_block=cfg.group_block, acc_dtype=self._acc,
+                        col_unroll=cfg.col_unroll, noadj=self._noadj,
+                        nbs=nbs)
+                    res.append((ci, s))
+            return res
+
+        def drain(res):
+            for ci, s in res:
+                outs[ci].append(np.asarray(s).reshape(s.shape[0], -1))
+
+        slices = self._hs_slices
         if not cfg.host_stream_overlap:
-            # forced-serial A/B reference: block on each transfer, then on
-            # each compute, before touching the next slice — no link/VPU
-            # overlap.  Results are identical; only the schedule differs.
-            for L, arr in flat:
-                dev = jax.device_put(arr)
+            # forced-serial A/B reference: block on each transfer, then
+            # on each compute, before touching the next slice — no
+            # link/VPU overlap.  Results are identical; only the
+            # schedule differs.
+            for nbytes, spans in slices:
+                dev = self._hs_assemble(nbytes, spans)
                 jax.block_until_ready(dev)
-                s = _search_bin_hostslice(qb, self.gaps, self.submat_dev,
-                                          dev, cfg.u_rows, self._interpret,
-                                          cfg.group_block, self._acc,
-                                          cfg.col_unroll, self._noadj,
-                                          nbs=nbs)
-                outs.append(np.asarray(s).reshape(Q, -1))
-            return np.concatenate(outs, axis=1) if outs else \
-                np.zeros((Q, 0), np.int32)
-        pending = None
-        dev = jax.device_put(flat[0][1]) if flat else None
-        for i, (L, arr) in enumerate(flat):
-            nxt = jax.device_put(flat[i + 1][1]) if i + 1 < len(flat) \
-                else None
-            s = _search_bin_hostslice(qb, self.gaps, self.submat_dev, dev,
-                                      cfg.u_rows, self._interpret,
-                                      cfg.group_block, self._acc,
-                                      cfg.col_unroll, self._noadj,
-                                      nbs=nbs)
+                drain(dispatch(dev, spans))
+        else:
+            pending = None
+            dev = self._hs_assemble(*slices[0]) if slices else None
+            for i, (nbytes, spans) in enumerate(slices):
+                nxt = self._hs_assemble(*slices[i + 1]) \
+                    if i + 1 < len(slices) else None
+                res = dispatch(dev, spans)
+                if pending is not None:
+                    # blocking readback of slice i-1's scores: the
+                    # backpressure that bounds in-flight slices (and
+                    # frees their HBM)
+                    drain(pending)
+                pending = res
+                dev = nxt
             if pending is not None:
-                # blocking readback of slice i-1's scores: the backpressure
-                # that bounds in-flight slices (and frees their HBM)
-                outs.append(np.asarray(pending).reshape(Q, -1))
-            pending = s
-            dev = nxt
-        if pending is not None:
-            outs.append(np.asarray(pending).reshape(Q, -1))
-        return np.concatenate(outs, axis=1) if outs else \
-            np.zeros((Q, 0), np.int32)
+                drain(pending)
+        return [np.concatenate(o, axis=1) if o else
+                np.zeros((int(qb.shape[0]), 0), np.int32)
+                for o, (qb, _) in zip(outs, cls)]
+
+    def _host_stream_scores(self, q_batch, nbs=None) -> np.ndarray:
+        """int32[Q, n_slots] scores with the database streamed
+        host->device in coalesced slices (see _host_stream_scores_multi;
+        the reference's analog is its per-chunk clEnqueueWriteBuffer
+        round, FPGAsearch.c:180-237)."""
+        return self._host_stream_scores_multi([(q_batch, nbs)])[0]
 
     def _pad_query(self, query):
         return pad_query(query, self.config)
@@ -1432,15 +1534,28 @@ class SearchEngine:
         for i in rest:
             by_len.setdefault(padded[i].shape[0], []).append(i)
         u = self.config.u_rows
+        class_args = {}
         for m_pad, idxs in by_len.items():
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
             nb_l = [nb_of(np.asarray(queries[i]).size, u) for i in idxs]
             nbs = None if all(b * u >= m_pad for b in nb_l) else \
                 jnp.asarray(nb_l, jnp.int32)
+            class_args[m_pad] = (qb, nbs)
+        hs_flats = {}
+        if self.mode == "host_stream" and class_args:
+            # ONE streaming sweep of the database scores EVERY padded-
+            # length class (each transferred slice is scanned by every
+            # class's programs before the next slice replaces it) —
+            # sweeping once per class re-paid the whole transfer cost
+            # per class
+            keys = sorted(class_args)
+            flats = self._host_stream_scores_multi(
+                [class_args[m] for m in keys])
+            hs_flats = dict(zip(keys, flats))
+        for m_pad, idxs in by_len.items():
+            qb, nbs = class_args[m_pad]
             if self.mode == "host_stream":
-                # one streaming sweep of the database scores the whole
-                # same-length batch (transfer cost amortised over queries)
-                flat_np = self._host_stream_scores(qb, nbs)
+                flat_np = hs_flats[m_pad]
                 packed = None
                 top_scores = np.empty((len(idxs), k), np.int32)
                 top_slots = np.empty((len(idxs), k), np.int64)

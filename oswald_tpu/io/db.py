@@ -9,7 +9,7 @@ assemble_multiple_chunks_db :393-623).  Differences by design:
   instead of 16/32-wide SIMD vector groups.  Lane l of group g holds one
   whole database sequence; padding lanes/positions hold the dummy residue,
   which every matrix scores 0, so they can never change a score.
-- Group lengths are rounded up to LENGTH_QUANTUM (64) and groups with equal
+- Group lengths are rounded up to LENGTH_QUANTUM (32) and groups with equal
   padded length are stacked into a *bin*: a single [G, L, 8, 128] int8 array.
   Bins give XLA a small, static set of shapes (replacing the reference's
   dynamic 128 MiB chunking) and stream through the Pallas kernel in
@@ -47,9 +47,13 @@ LENGTH_QUANTUM = 32
 
 # v1: original artifact (128-quantum bins, eager titles only).
 # v2: 64-quantum bins + titles_idx.npy (lazy title resolution).
-# load_db accepts both; v1 artifacts fall back to eager titles.
-FORMAT_VERSION = 2
-_SUPPORTED_VERSIONS = (1, 2)
+# v3: 32-quantum bins (bins may end in 32/64/96-position tail chunks; a
+#     build that hardcodes a single 64-wide tail would mis-reshape them,
+#     so the version gate must distinguish them from v2).
+# load_db accepts all three: the per-width tail_flats code reads v1/v2
+# (64/128-quantum) artifacts fine, and v1 falls back to eager titles.
+FORMAT_VERSION = 3
+_SUPPORTED_VERSIONS = (1, 2, 3)
 
 
 @dataclasses.dataclass
@@ -382,6 +386,52 @@ def import_reference_db(base: str, verbose: bool = True) -> PackedDB:
               f"({db.n_residues} residues) from the reference format "
               f"{base}.desc/.info/.seq in {time.perf_counter() - t0:.2f}s")
     return db
+
+
+def export_reference_db(db: PackedDB, base: str, verbose: bool = True):
+    """Export a PackedDB to the REFERENCE's `.desc`/`.info`/`.seq` triple
+    — the reverse of `import_reference_db`, closing the format round trip
+    so a user can migrate back to OSWALD without the raw FASTA.
+
+    Writes exactly what /root/reference/host/src/sequences.c:128-208
+    writes: `.desc` one title per line (length-ascending order), `.info`
+    "count residues max_title_len", `.seq` uint16 lengths then the
+    encoded int8 residues (codes 0..22 — bit-identical alphabet).  The
+    uint16 length field is the FORMAT's cap: sequences over 65535
+    residues cannot be represented and raise.
+    """
+    t0 = time.perf_counter()
+    lengths = np.asarray(db.lengths)
+    if lengths.size and int(lengths.max()) > np.iinfo(np.uint16).max:
+        raise ValueError(
+            f"the reference .seq format stores lengths as uint16; "
+            f"sequence of length {int(lengths.max())} cannot be exported")
+    max_title = 0
+    with open(base + ".desc", "w") as f:
+        for t in db.titles:
+            t = str(t)
+            max_title = max(max_title, len(t))
+            f.write(t + "\n")
+    with open(base + ".info", "w") as f:
+        f.write(f"{db.n_seqs} {db.n_residues} {max_title}\n")
+    with open(base + ".seq", "wb") as f:
+        lengths.astype(np.uint16).tofile(f)
+        # groups hold 1024 consecutive sorted ids each (bins ascending),
+        # so walking bins/groups in order IS sorted order; one masked
+        # gather per group emits its residues slot-major without a
+        # per-sequence Python loop
+        for L in db.bin_lengths:
+            b = db.bins[L]
+            for g in range(b["seq"].shape[0]):
+                rows = np.asarray(b["seq"][g]).reshape(
+                    L, GROUP_LANES).T                   # [1024, L]
+                lens = np.asarray(b["len"][g]).reshape(GROUP_LANES)
+                mask = np.arange(L)[None, :] < lens[:, None]
+                rows[mask].astype(np.int8).tofile(f)
+    if verbose:
+        print(f"oswald-tpu export: {db.n_seqs} sequences "
+              f"({db.n_residues} residues) -> reference format "
+              f"{base}.desc/.info/.seq in {time.perf_counter() - t0:.2f}s")
 
 
 def save_db(db: PackedDB, out_path: str):

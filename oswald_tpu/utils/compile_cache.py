@@ -78,6 +78,59 @@ def enable_compile_cache(cache_dir: str | None = None,
     return cache_dir
 
 
+def pack_cache(tar_path: str, cache_dir: str | None = None) -> dict:
+    """Archive a warmed compile cache into one gzip tarball — the analog
+    of SHIPPING the reference's precompiled `sw.aocx`: a fresh deployment
+    unpacks the artifact and skips the cold warmup ladder entirely
+    (measured on the v5e rig: first-ever serve warmup ~22 min cold vs
+    seconds-to-minutes with a primed cache, SCALING.md).  Returns
+    {"entries", "bytes", "tar"}."""
+    import tarfile
+    d = cache_dir or _enabled_dir or default_cache_dir()
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"compile cache directory {d} does not exist — run a search/"
+            "serve/bench once (with the cache enabled) to populate it")
+    n = size = 0
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for root, _, files in os.walk(d):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                tf.add(p, arcname=os.path.relpath(p, d))
+                size += os.path.getsize(p)
+                n += 1
+    return {"entries": n, "bytes": size, "tar": tar_path}
+
+
+def unpack_cache(tar_path: str, cache_dir: str | None = None,
+                 overwrite: bool = False) -> dict:
+    """Pre-seed a compile cache from a `pack_cache` tarball.  Existing
+    entries are kept (overwrite=False) — cache files are content-keyed,
+    so a collision means the entry is already present.  Returns
+    {"extracted", "skipped", "dir"}."""
+    import tarfile
+    d = cache_dir or _enabled_dir or default_cache_dir()
+    os.makedirs(d, exist_ok=True)
+    extracted = skipped = 0
+    with tarfile.open(tar_path, "r:*") as tf:
+        for m in tf.getmembers():
+            if not m.isfile():
+                continue
+            # refuse path escapes (the tarball may come from elsewhere)
+            dest = os.path.realpath(os.path.join(d, m.name))
+            if not dest.startswith(os.path.realpath(d) + os.sep):
+                raise ValueError(f"unsafe path in cache tar: {m.name!r}")
+            if os.path.exists(dest) and not overwrite:
+                skipped += 1
+                continue
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            src = tf.extractfile(m)
+            with open(dest, "wb") as out:
+                out.write(src.read())
+            extracted += 1
+    return {"extracted": extracted, "skipped": skipped, "dir": d}
+
+
 def cache_stats(cache_dir: str | None = None) -> dict:
     """Entry count and total bytes of a cache directory (for `info` and
     deployment priming checks)."""

@@ -224,3 +224,40 @@ def test_cli_col_unroll_flag(tmp_path):
     args = build_parser().parse_args(
         ["search", "-q", "q.fa", "-d", "db", "--col-unroll", "8"])
     assert args.col_unroll == 8
+
+
+def test_cli_cache_pack_unpack(tmp_path, capsys):
+    """`cache pack` archives a cache dir into one tarball and `cache
+    unpack` pre-seeds a fresh directory from it (the shippable-
+    precompiled-binary story, utils.c:144-150); existing entries are
+    kept unless --overwrite."""
+    from oswald_tpu.cli.main import main as cli_main
+    src = tmp_path / "cache"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.bin").write_bytes(b"AAAA")
+    (src / "sub" / "b.bin").write_bytes(b"BB")
+    tar = str(tmp_path / "warm.tar.gz")
+    assert cli_main(["cache", "pack", tar,
+                     "--compile-cache", str(src)]) == 0
+    out = capsys.readouterr().out
+    assert "packed 2 compiled programs" in out
+
+    dst = tmp_path / "fresh"
+    assert cli_main(["cache", "unpack", tar,
+                     "--compile-cache", str(dst)]) == 0
+    assert (dst / "a.bin").read_bytes() == b"AAAA"
+    assert (dst / "sub" / "b.bin").read_bytes() == b"BB"
+    assert "unpacked 2 programs" in capsys.readouterr().out
+    # second unpack: everything already present
+    assert cli_main(["cache", "unpack", tar,
+                     "--compile-cache", str(dst)]) == 0
+    assert "(2 already present)" in capsys.readouterr().out
+    # info
+    assert cli_main(["cache", "info",
+                     "--compile-cache", str(dst)]) == 0
+    assert "2 programs" in capsys.readouterr().out
+    # user errors: missing tar arg / missing source dir
+    assert cli_main(["cache", "pack",
+                     "--compile-cache", str(src)]) == 2
+    assert cli_main(["cache", "pack", tar,
+                     "--compile-cache", str(tmp_path / "nope")]) == 2

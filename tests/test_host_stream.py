@@ -29,18 +29,19 @@ def _make_db(rng, n, lmax, bin_cost=None):
 
 
 def test_host_stream_matches_precompute(rng):
-    # ~0.9 MiB groups + a 1 MiB slice target: with group_block=1 each
-    # group is its own slice (multi-slice double-buffered loop); the
-    # default group_block=2 engine pads the single-group bin's slice to a
-    # group_block multiple (padded-final-slice path)
-    db = _make_db(rng, 2500, 850)
+    # ~20 groups over several thin bins against a 1 MiB slice budget:
+    # slices must coalesce spans across bin boundaries AND split into
+    # multiple transfers; group_block=2 exercises the padded-span path
+    db = _make_db(rng, 19000, 300)
     q = random_protein(rng, 77)
     pre = SearchEngine(db, SearchConfig(top=20, profile_mode="precompute"))
     hs = SearchEngine(db, SearchConfig(top=20, profile_mode="host_stream",
                                        host_stream_slice_mb=1,
                                        group_block=1))
-    assert any(len(v) > 1 for v in hs.host_slices.values()), \
-        "test should exercise multiple slices per bin"
+    assert len(hs._hs_slices) > 1, \
+        "test should exercise multiple coalesced slices"
+    assert any(len(spans) > 1 for _, spans in hs._hs_slices), \
+        "test should exercise a multi-span (cross-bin) slice"
     hs_pad = SearchEngine(db, SearchConfig(top=20,
                                            profile_mode="host_stream",
                                            host_stream_slice_mb=1,
@@ -100,7 +101,7 @@ def test_host_stream_serial_matches_overlap(rng):
                            host_stream_overlap=False)
     ov = SearchEngine(db, base)
     ser = SearchEngine(db, ser_cfg)
-    assert sum(len(v) for v in ov.host_slices.values()) > 2
+    assert len(ov._hs_slices) >= 2
     r_ov, r_ser = ov.search(q), ser.search(q)
     np.testing.assert_array_equal(r_ov.scores, r_ser.scores)
     np.testing.assert_array_equal(r_ov.seq_ids, r_ser.seq_ids)

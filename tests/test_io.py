@@ -315,6 +315,60 @@ def test_import_reference_db(tmp_path, rng):
                      "--from-oswald"]) == 2
 
 
+def test_export_reference_db_round_trip(tmp_path, rng):
+    """export_reference_db is the exact inverse of import_reference_db:
+    pack -> export -> import reproduces the packed database bit-exactly
+    (VERDICT r4 missing item 3 — the last format asymmetry); the CLI
+    --to-oswald flag drives the same path."""
+    from oswald_tpu.io.db import export_reference_db, import_reference_db
+    n = 400
+    lengths = rng.integers(3, 200, size=n)             # UNSORTED input
+    seqs = [random_protein(rng, int(l)) for l in lengths]
+    titles = [f"seq{i} desc" for i in range(n)]
+    db = pack_sequences(np.concatenate(seqs), lengths, titles)
+    base = str(tmp_path / "exported")
+    export_reference_db(db, base, verbose=False)
+
+    # the written triple matches the reference's own writer semantics
+    with open(base + ".info") as f:
+        cnt, D, mt = f.read().split()
+    assert (int(cnt), int(D)) == (n, int(lengths.sum()))
+    back = import_reference_db(base, verbose=False)
+    assert back.n_seqs == db.n_seqs
+    assert back.bin_lengths == db.bin_lengths
+    for L in db.bin_lengths:
+        np.testing.assert_array_equal(back.bins[L]["seq"],
+                                      db.bins[L]["seq"])
+        np.testing.assert_array_equal(back.bins[L]["len"],
+                                      db.bins[L]["len"])
+        np.testing.assert_array_equal(back.bins[L]["id"],
+                                      db.bins[L]["id"])
+    assert list(back.titles) == list(db.titles)
+
+    # CLI: FASTA -> .oswt + reference triple in one run
+    from oswald_tpu.alphabet import ALPHABET
+    fasta = tmp_path / "in.fasta"
+    with open(fasta, "w") as f:
+        for t, s in zip(titles, seqs):
+            f.write(f">{t}\n" +
+                    "".join(ALPHABET[c] for c in s) + "\n")
+    from oswald_tpu.cli.main import main as cli_main
+    out = str(tmp_path / "cliout")
+    assert cli_main(["preprocess", "-i", str(fasta), "-o", out,
+                     "--to-oswald"]) == 0
+    back2 = import_reference_db(out, verbose=False)
+    assert back2.n_seqs == n
+    for L in db.bin_lengths:
+        np.testing.assert_array_equal(back2.bins[L]["seq"],
+                                      db.bins[L]["seq"])
+
+    # over-uint16 sequences cannot be represented in the format
+    import pytest
+    big = pack_sequences(np.zeros(70000, np.int8), [70000], ["giant"])
+    with pytest.raises(ValueError, match="uint16"):
+        export_reference_db(big, str(tmp_path / "big"), verbose=False)
+
+
 def test_parse_fasta_compressed(tmp_path, rng):
     """gzip/bz2/xz FASTA decompresses transparently (magic-byte sniffed,
     so the extension does not matter)."""
