@@ -414,32 +414,71 @@ def run_suite(db, eng, rng, on_tpu, file, single_s=None, qlen=512,
     del st
     gc.collect()
 
+    # beyond-reference query lengths: the reference hard-caps at 5478
+    # (its FPGA channel depth, sw.cl:5); here the cap is a flag and the
+    # planner budgets the configured worst case.  Certify m = 8192 and
+    # 16384 end to end on hardware (exactness is CI-pinned vs the oracle
+    # at m=8192/9000, tests/test_engine.py)
+    if on_tpu:
+        lq = SearchEngine(db, SearchConfig(max_query_len=16384))
+        for ql in (8192, 16384):
+            q = rng.integers(0, 23, size=ql).astype(np.int8)
+            _retry(lambda: lq.search(q))
+            t0 = time.perf_counter()
+            r = lq.search(q)
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "config": "beyond_reference_qlen", "qlen": ql,
+                "gcups": round(ql * db.n_residues / dt / 1e9, 2),
+                "search_s": round(dt, 4), "top1": int(r.scores[0])}),
+                file=file)
+        del lq
+        gc.collect()
+
     # larger-than-HBM data path: force the planner's last-resort mode (as
     # if the packed DB exceeded device memory) and measure the streamed
     # throughput — the reference's bounded-chunk streaming analog
-    # (FPGAsearch.c:180-237)
+    # (FPGAsearch.c:180-237).  Round 5: slices coalesce across bin
+    # boundaries into flat transfer buffers (engine _init_host_stream);
+    # the default 256 MiB budget makes this database ONE transfer, so
+    # the double-buffering A/B runs at a 16 MiB budget (multiple slices)
+    # and a longer query (compute large enough to hide under)
     hs = SearchEngine(db, SearchConfig(profile_mode="host_stream"))
     q = rng.integers(0, 23, size=512).astype(np.int8)
     _retry(lambda: hs.search(q))           # compile
     t0 = time.perf_counter()
     hs.search(q)
     dt = time.perf_counter() - t0
+    print(json.dumps({"config": "host_stream", "qlen": 512,
+                      "slices": len(hs._hs_slices),
+                      "gcups": round(512 * db.n_residues / dt / 1e9, 2),
+                      "search_s": round(dt, 4)}), file=file)
+    del hs
+    gc.collect()
+    q2 = rng.integers(0, 23, size=2048).astype(np.int8)
+    hs2 = SearchEngine(db, SearchConfig(profile_mode="host_stream",
+                                        host_stream_slice_mb=16))
+    _retry(lambda: hs2.search(q2))
+    t0 = time.perf_counter()
+    hs2.search(q2)
+    dt = time.perf_counter() - t0
     # the double-buffering proof: the same sweep with overlap disabled
     # (serial transfer -> compute -> readback per slice); overlap_ratio =
     # serial/overlapped time, >1 means the transfer hides under compute
-    hs.config.host_stream_overlap = False
-    _retry(lambda: hs.search(q))
-    t0 = time.perf_counter()
-    hs.search(q)
-    dt_serial = time.perf_counter() - t0
-    hs.config.host_stream_overlap = True
-    print(json.dumps({"config": "host_stream", "qlen": 512,
-                      "gcups": round(512 * db.n_residues / dt / 1e9, 2),
+    hs2.config.host_stream_overlap = False
+    _retry(lambda: hs2.search(q2))
+    t0s = time.perf_counter()
+    hs2.search(q2)
+    dt_serial = time.perf_counter() - t0s
+    hs2.config.host_stream_overlap = True
+    print(json.dumps({"config": "host_stream_overlap_ab", "qlen": 2048,
+                      "slice_mb": 16, "slices": len(hs2._hs_slices),
+                      "gcups": round(2048 * db.n_residues / dt / 1e9, 2),
                       "search_s": round(dt, 4),
                       "serial_s": round(dt_serial, 4),
                       "overlap_ratio": round(dt_serial / dt, 3)}),
           file=file)
-    del hs
+    del hs2
     gc.collect()
 
     # distributed engine on a mesh of 1: setup must not be compile-bound

@@ -105,7 +105,8 @@ def scaling_projection(db, k: int, qlen: int, t_single_s: float,
     # the geometry t_single was measured on: groups padded to group_block
     base = sum(_round_up(g, group_block) * L * GROUP_LANES
                for L, g in geoms) or 1
-    payload = 8 * (k + 2)            # packed [2, k+2] int32 per shard
+    from oswald_tpu.engine.search import MOM_COLS
+    payload = 8 * (k + MOM_COLS)     # packed [2, k+MOM_COLS] int32/shard
     group_Ls = group_geometry(db)    # group-granular re-cut geometry
 
     def cells(n):

@@ -47,7 +47,7 @@ from oswald_tpu.engine.search import (
     _search_bin_stream_pack_impl, _search_bin_hostslice_impl,
     _split_packed, _result_stats, _db_len_stats, pad_query,
     mixed_pack_plan, MIXED_PACK_SEGS, resolve_exact_acc_dtype, nb_of,
-    nb_or_none,
+    nb_or_none, MOM_COLS, TAIL_SDS, TAIL_SDS0,
 )
 from oswald_tpu.engine.planner import plan_profile_mode
 from oswald_tpu.utils.metrics import Metrics
@@ -55,7 +55,7 @@ from oswald_tpu.utils.metrics import Metrics
 AXIS = "d"
 
 
-def _psum_moments_col(flat, idsf, lnl_table, ndim):
+def _psum_moments_col(flat, idsf, lnl_table, ndim, top_s=None):
     """Mesh-global score moments as packed int32 columns (the dist analog
     of engine.search._append_moments): sum(S), sum(S^2) and sum(S*lnL)
     over the valid local scores, psum'd over the mesh axis so every shard
@@ -63,20 +63,60 @@ def _psum_moments_col(flat, idsf, lnl_table, ndim):
     concatenation onto the packed candidate array.  lnl_table is the
     REPLICATED per-sorted-id float32 ln-length table; the shard's own ids
     gather its lnL values, so no per-bin length arrays need sharding.
-    flat: [n] or [Q, n] local scores; ndim 2 returns [2, 2] (layout
-    [[sum, sumsq], [slnl, 0]]), ndim 3 returns [2, Q, 2]."""
+
+    top_s: the replicated GLOBAL top-k scores ([kk] / [Q, kk]) — when
+    given (the fused whole-database program) the censored tail summary
+    for stats.tail_calibrate is also computed: the threshold derives from
+    the psum'd hit-excluded moments (identical on every shard), local
+    exceedance counts psum.  When None (per-bin / per-slice programs,
+    which cannot see the whole database) the sentinel T1 = -1 keeps the
+    moment-only fit.
+
+    flat: [n] or [Q, n] local scores; ndim 2 returns [2, MOM_COLS]
+    (layout [[sum, sumsq, slnl, T1], [c0, c1, T0, 0]]), ndim 3
+    returns [2, Q, MOM_COLS] — matching engine.search._append_moments."""
     valid = idsf >= 0
     sf = jnp.where(valid, flat, 0).astype(jnp.float32)
     lnl = jnp.where(valid, jnp.take(lnl_table, jnp.maximum(idsf, 0),
                                     fill_value=0.0), 0.0)
     parts = [jnp.sum(sf, axis=-1), jnp.sum(sf * sf, axis=-1),
              jnp.sum(sf * lnl, axis=-1)]
-    mom = jax.lax.psum(jnp.stack(parts + [jnp.zeros_like(parts[0])]), AXIS)
+    # idsf is per-slot (shared across a query batch): broadcast the valid
+    # count to the batch shape
+    parts.append(jnp.sum(valid.astype(jnp.float32))
+                 * jnp.ones_like(parts[0]))
+    mom = jax.lax.psum(jnp.stack(parts), AXIS)      # [4] or [4, Q]
+    s1, s2, slnl, n = mom[0], mom[1], mom[2], mom[3]
+    z = jnp.zeros_like(s1)
+    if top_s is None:
+        t0, t1, c0, c1 = z - 1.0, z - 1.0, z, z
+    else:
+        top = top_s.astype(jnp.float32)
+        topv = top >= 0
+        tf = jnp.where(topv, top, 0.0)
+        n_ex = jnp.maximum(n - jnp.sum(topv.astype(jnp.float32),
+                                       axis=-1), 1.0)
+        mean = (s1 - jnp.sum(tf, axis=-1)) / n_ex
+        var = jnp.maximum((s2 - jnp.sum(tf * tf, axis=-1)) / n_ex
+                          - mean * mean, 0.0)
+        sd = jnp.sqrt(var)
+        t0 = jnp.ceil(mean + TAIL_SDS0 * sd)
+        t1 = jnp.ceil(mean + TAIL_SDS * sd)
+        up = (lambda t: t[..., None]) if sf.ndim > 1 else (lambda t: t)
+        tails = jnp.stack(
+            [jnp.sum((valid & (sf >= up(t0))).astype(jnp.float32),
+                     axis=-1),
+             jnp.sum((valid & (sf >= up(t1))).astype(jnp.float32),
+                     axis=-1)])
+        tails = jax.lax.psum(tails, AXIS)
+        c0, c1 = tails[0], tails[1]
+    out = jnp.stack([s1, s2, slnl, t1, c0, c1, t0, z])
     if ndim == 3:
-        # [4, Q] -> [2, Q, 2] matching _append_moments' row layout
-        return jax.lax.bitcast_convert_type(mom, jnp.int32) \
-            .reshape(2, 2, -1).transpose(0, 2, 1)
-    return jax.lax.bitcast_convert_type(mom, jnp.int32).reshape(2, 2)
+        # [8, Q] -> [2, Q, MOM_COLS] matching _append_moments' row layout
+        return jax.lax.bitcast_convert_type(out, jnp.int32) \
+            .reshape(2, MOM_COLS, -1).transpose(0, 2, 1)
+    return jax.lax.bitcast_convert_type(out, jnp.int32) \
+        .reshape(2, MOM_COLS)
 
 
 @jax.jit
@@ -468,14 +508,14 @@ class DistributedSearchEngine:
 
         def _drain(packed):
             nonlocal msum, msumsq, mslnl
-            arr = np.asarray(packed)            # [2, Q, kk+2]
-            mom = np.ascontiguousarray(arr[..., -2:]).view(np.float32) \
-                .astype(np.float64)             # [2, Q, 2], _append_moments
+            arr = np.asarray(packed)            # [2, Q, kk+MOM_COLS]
+            mom = np.ascontiguousarray(arr[..., -MOM_COLS:]) \
+                .view(np.float32).astype(np.float64)
             msum = msum + mom[0, :, 0]
             msumsq = msumsq + mom[0, :, 1]
-            mslnl = mslnl + mom[1, :, 0]
-            cand_s.append(arr[0, :, :-2])
-            cand_i.append(arr[1, :, :-2])
+            mslnl = mslnl + mom[0, :, 2]
+            cand_s.append(arr[0, :, :-MOM_COLS])
+            cand_i.append(arr[1, :, :-MOM_COLS])
 
         if not self.config.host_stream_overlap:
             # forced-serial A/B reference (see SearchConfig): block on each
@@ -508,11 +548,15 @@ class DistributedSearchEngine:
                 pending = packed
             if pending is not None:
                 _drain(pending)
+        # per-slice programs cannot see the whole database: sentinel T1
+        # (no tail payload) keeps the moment-only fit for dist host_stream
+        mom = (msum, msumsq, mslnl, np.full(Q, -1.0), np.zeros(Q),
+               np.zeros(Q), np.full(Q, -1.0))
         if not cand_s:
             return (np.zeros((Q, 0), np.int32), np.zeros((Q, 0), np.int32),
-                    msum, msumsq, mslnl)
+                    mom)
         return (np.concatenate(cand_s, axis=1),
-                np.concatenate(cand_i, axis=1), msum, msumsq, mslnl)
+                np.concatenate(cand_i, axis=1), mom)
 
     def _merge_candidates(self, scores, ids, k: int):
         """Deterministic host merge of one query's candidate union: score
@@ -636,8 +680,10 @@ class DistributedSearchEngine:
             all_ids = jax.lax.all_gather(loc_ids, AXIS, tiled=True)
             top_s, top_i = jax.lax.top_k(all_s, min(k, all_s.shape[0]))
             packed = jnp.stack([top_s, jnp.take(all_ids, top_i)])
+            # whole-database program: the tail summary rides along
             return jnp.concatenate(
-                [packed, _psum_moments_col(flat, idsf, lnl_table, 2)],
+                [packed, _psum_moments_col(flat, idsf, lnl_table, 2,
+                                           top_s=top_s)],
                 axis=-1)
 
         if precompute:
@@ -755,11 +801,10 @@ class DistributedSearchEngine:
                         self.config.u_rows)
         k = min(self.config.top, max(self.db.n_seqs, 1))
         if self.mode == "host_stream":
-            cs, ci, msum, msumsq, mslnl = self._host_stream_candidates(
+            cs, ci, mom = self._host_stream_candidates(
                 q_pad[None], k, None if nb is None else nb[None])
             scores, ids = self._merge_candidates(cs[0], ci[0], k)
-            done = (scores, ids, float(msum[0]), float(msumsq[0]),
-                    float(mslnl[0]))
+            done = (scores, ids, tuple(float(m[0]) for m in mom))
             return (query, query_title, t0, k, None, None, done)
         fused = self.config.fused_dispatch
         if fused is None:
@@ -796,21 +841,20 @@ class DistributedSearchEngine:
     def _finish(self, pend) -> SearchResult:
         query, query_title, t0, k, arr, widths, done = pend
         if done is not None:
-            scores, ids, msum, msumsq, mslnl = done
+            scores, ids, mom = done
         else:
             if arr is not None:
-                scores, ids, msum, msumsq, mslnl = _split_packed(
-                    np.asarray(arr), widths)
+                scores, ids, mom = _split_packed(np.asarray(arr), widths)
             else:
                 scores = ids = np.zeros(0, np.int32)
-                msum = msumsq = mslnl = 0.0
+                mom = (0.0, 0.0, 0.0, -1.0, 0.0, 0.0, -1.0)
             # deterministic merge: score descending, id ascending on ties —
             # identical to a global top_k over the slot-ordered flat scores
             scores, ids = self._merge_candidates(scores, ids, k)
         qlen = int(np.asarray(query).size)
         ev, bits, st = _result_stats(
             self.db, self._lnl_by_id, self._lnl_mom, self._len_hist,
-            scores, ids, msum, msumsq, mslnl, qlen)
+            scores, ids, mom, qlen)
         elapsed = time.perf_counter() - t0
         self.metrics.add("search", elapsed)
         titles = [self.db.title_of(int(i)) for i in ids]
@@ -824,19 +868,35 @@ class DistributedSearchEngine:
 
     def search_stream(self, queries, titles=None):
         """Pipelined single-query stream: dispatch query i+1's shard_map
-        programs before blocking on query i's candidate readback (see
-        SearchEngine.search_stream — identical results to sequential
-        search, the readback latency hidden under the next compute)."""
+        programs before blocking on query i's candidate readback, with
+        readback windowing (see SearchEngine.search_stream — identical
+        results to sequential search; one transfer per
+        stream_readback_window queries)."""
+        from oswald_tpu.engine.search import _stack_packed
         titles = titles or [f"query{i}" for i in range(len(queries))]
-        results, pending = [], None
-        for q, t in zip(queries, titles):
-            nxt = self._dispatch(q, t)
-            if pending is not None:
-                results.append(self._finish(pending))
-            pending = nxt
-        if pending is not None:
-            results.append(self._finish(pending))
+        W = max(self.config.stream_readback_window, 1)
+        results, prev = [], None
+        for lo in range(0, len(queries), W):
+            grp = [self._dispatch(q, t)
+                   for q, t in zip(queries[lo:lo + W], titles[lo:lo + W])]
+            arrs = [p[4] for p in grp]
+            stacked = _stack_packed(*arrs) \
+                if len(arrs) > 1 and all(a is not None for a in arrs) \
+                else None
+            if prev is not None:
+                results.extend(self._finish_group(*prev))
+            prev = (grp, stacked)
+        if prev is not None:
+            results.extend(self._finish_group(*prev))
         return results
+
+    def _finish_group(self, grp, stacked):
+        """Finish one readback window (see SearchEngine._finish_group)."""
+        if stacked is None:
+            return [self._finish(p) for p in grp]
+        big = np.asarray(stacked)               # the ONE window readback
+        return [self._finish((q, t, t0, k, big[i], widths, done))
+                for i, (q, t, t0, k, _, widths, done) in enumerate(grp)]
 
     def _bin_batch_fn(self, L: int, k: int, skip: bool):
         """Compiled per-bin shard_map for a query batch: (q_batch, gaps,
@@ -1046,7 +1106,7 @@ class DistributedSearchEngine:
                                                nb is not None)(
                     q_packed, seg_map, *nb_args, self.gaps,
                     self.submat_dev, data, self.ids[L], self.lnl_table))
-            pending.append((sub, cands, None, None, None, None, None))
+            pending.append((sub, cands, None, None, None))
 
         # unpacked leftovers: batched per padded-length class
         padded = {i: pad_query(queries[i], self.config, for_batch=True)
@@ -1065,9 +1125,8 @@ class DistributedSearchEngine:
                 # same-length batch (transfer cost amortised over queries);
                 # the sweep's readback loop is its own backpressure, so
                 # these candidates are already host-side
-                cs, ci, msum, msumsq, mslnl = \
-                    self._host_stream_candidates(qb, k, nbs)
-                pending.append((idxs, None, cs, ci, msum, msumsq, mslnl))
+                cs, ci, mom = self._host_stream_candidates(qb, k, nbs)
+                pending.append((idxs, None, cs, ci, mom))
                 continue
             cands = []
             for L in self.db.bin_lengths:
@@ -1077,27 +1136,29 @@ class DistributedSearchEngine:
                 cands.append(self._bin_batch_fn(L, k, nbs is not None)(
                     *q_args, self.gaps, self.submat_dev, data, self.ids[L],
                     self.lnl_table))
-            pending.append((idxs, cands, None, None, None, None, None))
+            pending.append((idxs, cands, None, None, None))
 
-        for idxs, cands, scores, ids, msum, msumsq, mslnl in pending:
+        for idxs, cands, scores, ids, mom in pending:
             if cands is not None:
                 if cands:
                     # one device concat + ONE readback per padded-length
                     # group (see _bin_fn's packed layout)
                     arr = np.asarray(_concat_cands(*cands))
-                    scores, ids, msum, msumsq, mslnl = _split_packed(
+                    scores, ids, mom = _split_packed(
                         arr, [int(c.shape[-1]) for c in cands])
                 else:
                     scores = np.zeros((len(idxs), 0), np.int32)
                     ids = np.zeros((len(idxs), 0), np.int32)
-                    msum = msumsq = mslnl = np.zeros(len(idxs), np.float64)
+                    z = np.zeros(len(idxs), np.float64)
+                    mom = (z, z, z, z - 1.0, z, z, z - 1.0)
             for row, qi in enumerate(idxs):
                 srow, irow = self._merge_candidates(scores[row], ids[row], k)
                 qlen = int(np.asarray(queries[qi]).size)
                 ev, bits, st = _result_stats(
                     self.db, self._lnl_by_id, self._lnl_mom,
-                    self._len_hist, srow, irow, float(msum[row]),
-                    float(msumsq[row]), float(mslnl[row]), qlen)
+                    self._len_hist, srow, irow,
+                    tuple(np.asarray(m)[row] if np.ndim(m) else m
+                          for m in mom), qlen)
                 results[qi] = SearchResult(
                     query_title=titles[qi], query_length=qlen,
                     scores=srow, seq_ids=irow,

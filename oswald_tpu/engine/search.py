@@ -26,7 +26,7 @@ from oswald_tpu.submat import get_submat
 from oswald_tpu.io.db import PackedDB, SUBLANES, LANES
 from oswald_tpu.kernels import sw_chunk, build_profile, noadj_ok, CHUNK_WIDTH
 from oswald_tpu.engine.planner import plan_profile_mode
-from oswald_tpu.stats import fit_score_model
+from oswald_tpu.stats import fit_score_model, tail_calibrate
 from oswald_tpu.utils.metrics import Metrics
 
 
@@ -105,6 +105,17 @@ class SearchConfig:
     # Precompute and stream modes (both engines); applies when >= 2
     # queries fit.
     batch_query_pack_rows: int = 1024
+    # search_stream readback windowing: group up to this many consecutive
+    # queries' packed top-k outputs into ONE device->host transfer (a
+    # jitted stack on device).  The pipelined stream's floor is one
+    # readback RTT per query (~28 ms through this rig's tunnel — MORE
+    # than a whole qlen-64 search's compute), so paying one RTT per
+    # window instead of per query lifts short-query streams well past
+    # the per-query-RTT ceiling; results are identical, only the
+    # transfer schedule changes (each result is built from its own
+    # packed columns).  1 = one readback per query (the round-3/4
+    # behavior).
+    stream_readback_window: int = 4
     # One jitted program per search (bins + top-k) instead of one dispatch
     # per bin.  None = auto: fused for EVERY single query in precompute
     # mode (never in interpret mode — one giant traced program is much
@@ -179,6 +190,11 @@ class SearchConfig:
             raise ValueError(
                 f"host_stream_slice_mb must be >= 1, got "
                 f"{self.host_stream_slice_mb!r}")
+        if not (isinstance(self.stream_readback_window, int) and
+                self.stream_readback_window >= 1):
+            raise ValueError(
+                f"stream_readback_window must be a positive int, got "
+                f"{self.stream_readback_window!r}")
 
     def resolved_interpret(self) -> bool:
         if self.interpret is None:
@@ -266,17 +282,39 @@ def _db_len_stats(db):
     return lnl, (float(l64.sum()), float((l64 * l64).sum())), hist
 
 
+# packed trailing moment columns: [sum, sumsq, slnl, T1] row 0 and
+# [c1, tailsum, 0, 0] row 1 (bitcast float32) — score moments for the
+# length-regressed fit plus the censored tail summary for the round-5
+# lambda recalibration (stats.tail_calibrate).  T1 = -1 is the sentinel
+# for paths that cannot see the whole database in one program (per-bin
+# distributed dispatch, distributed host_stream slices): they keep the
+# moment-only fit.
+MOM_COLS = 4
+# tail thresholds for the count-ratio lambda estimator
+# (stats.tail_calibrate): ~1.2 and ~2.5 hit-excluded sd above the mean
+# put P(S >= T) around 1e-1 and 1e-2 — both in the exponential tail,
+# far enough apart that ln(c0/c1)/(T1-T0) is a stable rate estimate
+# even on a few-thousand-sequence database
+TAIL_SDS0 = 1.2
+TAIL_SDS = 2.5
+
+
 def _result_stats(db, lnl_table, lnl_mom, len_hist,
-                  top_scores, top_ids, msum, msumsq, mslnl, query_len):
+                  top_scores, top_ids, mom, query_len):
     """Fit the length-regressed null model from streamed moments and score
-    the hits.  Returns (evalues, bit_scores, ScoreStats|None); the
+    the hits.  mom: (msum, msumsq, mslnl, T1, c0, c1, T0) — see
+    MOM_COLS.  Returns (evalues, bit_scores, ScoreStats|None); the
     reported hits (scores AND ln-lengths) are excluded from the fit so
-    true positives can't tilt the trend or inflate the variance."""
+    true positives can't tilt the trend or inflate the variance, and the
+    tail summary recalibrates lambda (stats.tail_calibrate)."""
+    msum, msumsq, mslnl, t1, c0, c1, t0 = [float(x) for x in mom]
     ids = np.maximum(np.asarray(top_ids, np.int64), 0)
     st = fit_score_model(db.n_seqs, msum, msumsq, mslnl,
                          lnl_mom[0], lnl_mom[1],
                          exclude_scores=top_scores,
                          exclude_lnl=lnl_table[ids])
+    st = tail_calibrate(st, db.n_seqs, len_hist, t0, t1, c0, c1,
+                        exclude_scores=top_scores)
     if st is None:
         return None, None, None
     ev = st.evalues(top_scores, db.n_seqs, len_hist)
@@ -285,12 +323,31 @@ def _result_stats(db, lnl_table, lnl_mom, len_hist,
     return ev, bits, st
 
 
-def _host_moments(scores_flat, valid_mask, lnl_flat):
-    """Host-side (sum, sum^2, sum S*lnL) of the valid scores — for the
-    host_stream paths, whose full score vectors are already in host RAM."""
+def _host_moments(scores_flat, valid_mask, lnl_flat, top_scores):
+    """Host-side moment + tail payload of the valid scores (the
+    host_stream analog of _append_moments: full score vectors are
+    already in host RAM).  scores_flat: [n] or [Q, n]; top_scores the
+    reported hits per row ([k] / [Q, k]) — excluded from the mean/sd the
+    tail threshold derives from, exactly like the device path.  Returns
+    (msum, msumsq, mslnl, T1, c0, c1, T0) scalars or [Q] arrays."""
     sf = np.asarray(scores_flat, np.float64)[..., valid_mask]
     l = np.asarray(lnl_flat, np.float64)[valid_mask]
-    return sf.sum(-1), (sf * sf).sum(-1), (sf * l).sum(-1)
+    msum, msumsq = sf.sum(-1), (sf * sf).sum(-1)
+    mslnl = (sf * l).sum(-1)
+    tops = np.asarray(top_scores, np.float64)
+    tv = tops >= 0
+    n_ex = np.maximum(valid_mask.sum() - tv.sum(-1), 1)
+    tf = np.where(tv, tops, 0.0)
+    mean = (msum - tf.sum(-1)) / n_ex
+    var = np.maximum((msumsq - (tf * tf).sum(-1)) / n_ex - mean * mean,
+                     0.0)
+    sd = np.sqrt(var)
+    t0 = np.ceil(mean + TAIL_SDS0 * sd)
+    t1 = np.ceil(mean + TAIL_SDS * sd)
+    up = (lambda t: t[..., None]) if sf.ndim > 1 else (lambda t: t)
+    c0 = (sf >= up(t0)).sum(-1).astype(np.float64)
+    c1 = (sf >= up(t1)).sum(-1).astype(np.float64)
+    return msum, msumsq, mslnl, t1, c0, c1, t0
 
 
 def _search_bin_impl(q_pad, gaps, prof_stack, u_rows, interpret,
@@ -647,54 +704,94 @@ _search_bin_flat_pack = jax.jit(_search_bin_flat_pack_impl,
 _build_profile_jit = jax.jit(build_profile)
 
 
+@jax.jit
+def _stack_packed(*arrs):
+    """Stack a readback window's per-query packed arrays on device so the
+    host pays ONE transfer per window instead of one per query (see
+    SearchConfig.stream_readback_window)."""
+    return jnp.stack(arrs)
+
+
 def _append_moments(packed, scores_flat, valid, lnl):
-    """Append two int32 columns holding the bitcast f32 score moments
-    [[sum(S), sum(S^2)], [sum(S*lnL), 0]] over the valid slots to a packed
-    [2, k] top-k array: the moments feed the host-side length-regressed
-    extreme-value significance fit (oswald_tpu.stats) and ride the SAME
-    readback as the hits — the full score vector never crosses the host
-    boundary and no extra round trip is paid."""
+    """Append MOM_COLS int32 columns holding the bitcast f32 score
+    moments [sum(S), sum(S^2), sum(S*lnL), T1] / [c0, c1, T0, 0]
+    over the valid slots to a packed [2, k] top-k array: the moments
+    feed the host-side length-regressed extreme-value significance fit
+    (oswald_tpu.stats), the (T0, T1, c0, c1) censored tail counts its
+    round-5 lambda recalibration (stats.tail_calibrate) — and all of it
+    rides the SAME readback as the hits, so the full score vector never
+    crosses the host boundary and no extra round trip is paid.
+
+    The tail threshold T1 derives from the mean/sd EXCLUDING the top-k
+    the program just computed (packed row 0), so a planted true positive
+    cannot inflate its own null's threshold; the counts themselves
+    include the hits (the host subtracts the reported scores >= T1 —
+    it knows them exactly)."""
     sf = jnp.where(valid, scores_flat, 0).astype(jnp.float32)
-    mom = jnp.stack([jnp.sum(sf), jnp.sum(sf * sf),
-                     jnp.sum(sf * lnl), jnp.zeros((), jnp.float32)])
-    cols = jax.lax.bitcast_convert_type(mom, jnp.int32).reshape(2, 2)
+    n = jnp.sum(valid.astype(jnp.float32))
+    s1, s2 = jnp.sum(sf), jnp.sum(sf * sf)
+    slnl = jnp.sum(sf * lnl)
+    top = packed[0].astype(jnp.float32)
+    topv = top >= 0                   # masked padding tops read -1
+    tf = jnp.where(topv, top, 0.0)
+    n_ex = jnp.maximum(n - jnp.sum(topv.astype(jnp.float32)), 1.0)
+    mean = (s1 - jnp.sum(tf)) / n_ex
+    var = jnp.maximum((s2 - jnp.sum(tf * tf)) / n_ex - mean * mean, 0.0)
+    sd = jnp.sqrt(var)
+    t0 = jnp.ceil(mean + TAIL_SDS0 * sd)
+    t1 = jnp.ceil(mean + TAIL_SDS * sd)
+    c0 = jnp.sum((valid & (sf >= t0)).astype(jnp.float32))
+    c1 = jnp.sum((valid & (sf >= t1)).astype(jnp.float32))
+    z = jnp.zeros((), jnp.float32)
+    mom = jnp.stack([s1, s2, slnl, t1, c0, c1, t0, z])
+    cols = jax.lax.bitcast_convert_type(mom, jnp.int32).reshape(2, MOM_COLS)
     return jnp.concatenate([packed, cols], axis=1)
 
 
 def _unpack_topk(arr):
-    """Host unpack of a packed readback int32[..., 2, k+2] ->
-    (scores[..., k], slots[..., k], sum[...], sumsq[...], slnl[...])."""
-    mom = np.ascontiguousarray(arr[..., :, -2:]).view(np.float32)
-    return (arr[..., 0, :-2], arr[..., 1, :-2],
-            mom[..., 0, 0].astype(np.float64),
-            mom[..., 0, 1].astype(np.float64),
-            mom[..., 1, 0].astype(np.float64))
+    """Host unpack of a packed readback int32[..., 2, k+MOM_COLS] ->
+    (scores[..., k], slots[..., k], mom) where mom = (sum, sumsq, slnl,
+    T1, c0, c1, T0) each [...]-shaped float64 (see _append_moments)."""
+    mom = np.ascontiguousarray(arr[..., :, -MOM_COLS:]).view(np.float32)
+    m = tuple(mom[..., r, c].astype(np.float64)
+              for r, c in ((0, 0), (0, 1), (0, 2), (0, 3),
+                           (1, 0), (1, 1), (1, 2)))
+    return arr[..., 0, :-MOM_COLS], arr[..., 1, :-MOM_COLS], m
 
 
 def _split_packed(arr, widths):
-    """Split a host-side concatenation of per-bin packed candidate arrays
-    ([2, W] or [2, Q, W] int32, each bin contributing widths[i] columns
-    whose last TWO columns are its bitcast moments — see _append_moments)
-    into (scores, ids, msum, msumsq, mslnl): candidates re-concatenated
-    without the moments columns, moments summed over bins (scalars for
-    [2, W], per-query float64 arrays for [2, Q, W])."""
+    """Split a host-side concatenation of per-bin/per-program packed
+    candidate arrays ([2, W] or [2, Q, W] int32, each contributing
+    widths[i] columns whose last MOM_COLS columns are its bitcast
+    moments — see _append_moments) into (scores, ids, mom): candidates
+    re-concatenated without the moments columns; additive moments (sum,
+    sumsq, slnl, c1, tailsum) summed over segments; T1 taken from the
+    LAST segment carrying a non-sentinel value (a fused program emits
+    one segment, so this is exact; per-bin distributed programs emit the
+    sentinel -1 in every segment — no whole-database threshold exists
+    there — which keeps the moment-only fit)."""
     s_parts, i_parts = [], []
     msum = msumsq = mslnl = 0.0
+    t1, c0, c1, t0 = -1.0, 0.0, 0.0, -1.0
     off = 0
     for w in widths:
         seg = arr[..., off:off + w]
-        # [2, 2] or [2, Q, 2]: [0, ..., 0]=sum, [0, ..., 1]=sumsq,
-        # [1, ..., 0]=slnl (see _append_moments)
-        mom = np.ascontiguousarray(seg[..., -2:]).view(np.float32) \
+        mom = np.ascontiguousarray(seg[..., -MOM_COLS:]).view(np.float32) \
             .astype(np.float64)
         msum = msum + mom[0, ..., 0]
         msumsq = msumsq + mom[0, ..., 1]
-        mslnl = mslnl + mom[1, ..., 0]
-        s_parts.append(seg[0, ..., :-2])
-        i_parts.append(seg[1, ..., :-2])
+        mslnl = mslnl + mom[0, ..., 2]
+        if np.all(mom[0, ..., 3] >= 0):
+            # the one whole-database segment (fused dispatch) carries the
+            # tail summary; per-bin segments all emit the sentinel
+            t1, c0, c1, t0 = (mom[0, ..., 3], mom[1, ..., 0],
+                              mom[1, ..., 1], mom[1, ..., 2])
+        s_parts.append(seg[0, ..., :-MOM_COLS])
+        i_parts.append(seg[1, ..., :-MOM_COLS])
         off += w
     return (np.concatenate(s_parts, axis=-1),
-            np.concatenate(i_parts, axis=-1), msum, msumsq, mslnl)
+            np.concatenate(i_parts, axis=-1),
+            (msum, msumsq, mslnl, t1, c0, c1, t0))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -1353,9 +1450,9 @@ class SearchEngine:
                 jnp.asarray(q_pad_hs)[None],
                 None if nb1 is None else nb1[None])[0]
             top_scores, top_slots = _host_topk(scores, self.ids_flat, k)
-            msum, msumsq, mslnl = _host_moments(
-                scores, self.ids_flat >= 0, self.lnl_flat)
-            done = (top_scores, top_slots, msum, msumsq, mslnl)
+            mom = _host_moments(scores, self.ids_flat >= 0, self.lnl_flat,
+                                top_scores)
+            done = (top_scores, top_slots, mom)
             return (query, query_title, t0, None, done)
         q_pad_np = self._pad_query(query)
         fused = self.config.fused_dispatch
@@ -1379,10 +1476,10 @@ class SearchEngine:
         """Block on a _dispatch's packed readback and build the result."""
         query, query_title, t0, packed, done = pend
         if done is not None:
-            top_scores, top_slots, msum, msumsq, mslnl = done
+            top_scores, top_slots, mom = done
         else:
             packed = np.asarray(packed)      # the ONE blocking readback
-            top_scores, top_slots, msum, msumsq, mslnl = _unpack_topk(packed)
+            top_scores, top_slots, mom = _unpack_topk(packed)
         top_scores = np.asarray(top_scores)
         # slots -> sorted-sequence ids (slot order preserves id order, so
         # top_k's lowest-index tie-break is a lowest-id tie-break)
@@ -1390,7 +1487,7 @@ class SearchEngine:
         qlen = int(np.asarray(query).size)
         ev, bits, st = _result_stats(
             self.db, self._lnl_by_id, self._lnl_mom, self._len_hist,
-            top_scores, top_ids, msum, msumsq, mslnl, qlen)
+            top_scores, top_ids, mom, qlen)
         elapsed = time.perf_counter() - t0
         self.metrics.add("search", elapsed)
         titles = [self.db.title_of(int(i)) for i in top_ids]
@@ -1407,25 +1504,46 @@ class SearchEngine:
         BEFORE query i's (tiny) top-k readback blocks, so the device->host
         round trip overlaps the next query's compute.  This is the
         latency-hiding mode for sequential clients: each query still runs
-        alone (no shared batch program), but the one blocking readback per
-        query — ~31 ms through this rig's remote-TPU tunnel, the dominant
-        cost of short-query searches — is paid under compute instead of
-        serially.  Measured v5e (300k-seq db): 8 distinct qlen-64 queries
-        120 -> 210 GCUPS (scripts/qlen_lab.py).  The reference's analog is
-        its async per-query kernel queue inside one chunk round
+        alone (no shared batch program).  The reference's analog is its
+        async per-query kernel queue inside one chunk round
         (/root/reference/host/src/FPGAsearch.c:204-223: all queries
         enqueued, one clWaitForEvents).  Results are identical to
-        [search(q) for q in queries]."""
+        [search(q) for q in queries].
+
+        Readback windowing (round 5): the plain pipeline's floor is one
+        readback RTT per query -- through this rig's tunnel (~28 ms) that
+        EXCEEDS a whole qlen-64 search's compute (~16 ms), so rounds
+        3/4's 171-194 GCUPS band for the 8-query qlen-64 stream simply
+        tracked the RTT drift.  Grouping stream_readback_window
+        consecutive queries' packed outputs into one device-side stack
+        pays one RTT per window, lifting short-query streams past the
+        per-query-RTT ceiling."""
         titles = titles or [f"query{i}" for i in range(len(queries))]
-        results, pending = [], None
-        for q, t in zip(queries, titles):
-            nxt = self._dispatch(q, t)
-            if pending is not None:
-                results.append(self._finish(pending))
-            pending = nxt
-        if pending is not None:
-            results.append(self._finish(pending))
+        W = max(self.config.stream_readback_window, 1)
+        results, prev = [], None
+        for lo in range(0, len(queries), W):
+            grp = [self._dispatch(q, t)
+                   for q, t in zip(queries[lo:lo + W], titles[lo:lo + W])]
+            packs = [p[3] for p in grp]
+            stacked = _stack_packed(*packs) \
+                if len(packs) > 1 and all(p is not None for p in packs) \
+                else None
+            if prev is not None:
+                results.extend(self._finish_group(*prev))
+            prev = (grp, stacked)
+        if prev is not None:
+            results.extend(self._finish_group(*prev))
         return results
+
+    def _finish_group(self, grp, stacked):
+        """Finish one readback window: one blocking transfer for the
+        whole stack, then per-query result builds from each query's own
+        packed rows (identical results to per-query readbacks)."""
+        if stacked is None:
+            return [self._finish(p) for p in grp]
+        big = np.asarray(stacked)               # the ONE window readback
+        return [self._finish((q, t, t0, big[i], done))
+                for i, (q, t, t0, _, done) in enumerate(grp)]
 
     def warmup(self, max_query_len: int = 512, batch: bool = True,
                log=None, jobs: int = 1):
@@ -1524,7 +1642,7 @@ class SearchEngine:
             packed = jax.vmap(
                 lambda sc: _topk(sc, self.valid, self.lnl, k))(
                     jnp.concatenate(outs, axis=1)[:n2])[:len(sub)]
-            pending.append((sub, packed, None, None, None, None, None))
+            pending.append((sub, packed, None, None, None))
 
         # unpacked leftovers (longer than the pack-row budget): batched
         # per padded-length class
@@ -1562,8 +1680,8 @@ class SearchEngine:
                 for row in range(len(idxs)):
                     top_scores[row], top_slots[row] = _host_topk(
                         flat_np[row], self.ids_flat, k)
-                msum, msumsq, mslnl = _host_moments(
-                    flat_np, self.ids_flat >= 0, self.lnl_flat)
+                mom = _host_moments(flat_np, self.ids_flat >= 0,
+                                    self.lnl_flat, top_scores)
             else:
                 outs = []
                 for L in self.db.bin_lengths:
@@ -1594,24 +1712,22 @@ class SearchEngine:
                 packed = jax.vmap(
                     lambda sc: _topk(sc, self.valid, self.lnl, k))(
                         jnp.concatenate(outs, axis=1))      # [Q, 2, k+2]
-                top_scores = top_slots = msum = msumsq = mslnl = None
-            pending.append((idxs, packed, top_scores, top_slots,
-                            msum, msumsq, mslnl))
+                top_scores = top_slots = mom = None
+            pending.append((idxs, packed, top_scores, top_slots, mom))
 
-        for idxs, packed, top_scores, top_slots, msum, msumsq, mslnl \
-                in pending:
+        for idxs, packed, top_scores, top_slots, mom in pending:
             if top_scores is None:
                 # one packed readback per group (scores+slots+moments,
                 # a single tunnel round trip — see _topk)
-                top_scores, top_slots, msum, msumsq, mslnl = _unpack_topk(
+                top_scores, top_slots, mom = _unpack_topk(
                     np.asarray(packed))
             for row, i in enumerate(idxs):
                 ids = self.ids_flat[top_slots[row]]
                 qlen = int(np.asarray(queries[i]).size)
                 ev, bits, st = _result_stats(
                     self.db, self._lnl_by_id, self._lnl_mom, self._len_hist,
-                    top_scores[row], ids, msum[row], msumsq[row],
-                    mslnl[row], qlen)
+                    top_scores[row], ids,
+                    tuple(m[row] for m in mom), qlen)
                 results[i] = SearchResult(
                     query_title=titles[i], query_length=qlen,
                     scores=top_scores[row], seq_ids=ids,

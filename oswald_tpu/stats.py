@@ -132,6 +132,88 @@ def fit_score_model(n_valid: int, s1: float, s2: float, s_lnl: float,
                       a=a, b=b, mu=mu)
 
 
+def tail_calibrate(st: ScoreStats | None, n_db: int, len_hist, T0, T1,
+                   c0, c1, exclude_scores=None,
+                   min_tail: int = 15) -> ScoreStats | None:
+    """Right-tail recalibration of a moment-fitted null (round 5).
+
+    The method-of-moments lambda is variance-matched, and gapped-SW score
+    distributions have a slightly heavier right tail than a variance-
+    matched Gumbel (measured: empirical tail counts exceed the MoM model
+    by a factor growing from ~1.1 at the median to ~1.4 at the 99.9th
+    percentile — reported E-values ran ~2x anti-conservative).  The
+    device therefore also streams TWO tail exceedance counts, c0 at
+    T0 ~ mean + 1.2 sd and c1 at T1 ~ mean + 2.5 sd (thresholds from the
+    hit-excluded mean/sd, so a planted homolog cannot inflate them).
+    Both live in the exponential tail, so their ratio identifies the rate
+    directly:
+
+        lambda = ln(c0 / c1) / (T1 - T0)
+
+    The reported hits must come out of the counts (a true positive is
+    not chance): each excluded hit >= T is subtracted, and the chance
+    mass ABOVE the smallest excluded hit s_k — removed along with the
+    hits — is restored by the model's own tail factor
+    F(T) = 1 - exp(-lambda (s_k - T)), iterated to a fixed point (two
+    or three iterations; lambda appears only inside F).  The length
+    trend (a, b) is kept from the regression; the location is then
+    re-anchored so the modeled expected count at T1 equals the corrected
+    observed chance count — a direct calibration of E(T1) against data.
+    Falls back to the MoM fit when the tail is too thin (corrected
+    c1 < min_tail) or degenerate — small databases keep the round-4
+    moment-only behavior."""
+    if st is None or T1 is None:
+        return st
+    # small databases: the integer thresholds sit a handful of score
+    # levels apart and the count ratio is noise (measured: a 700-seq db
+    # produced lambda estimates 4x off); the MoM fit is the honest model
+    # there, and keeping it below the floor also keeps single/dist/batch
+    # paths (some of which cannot stream tail counts) in agreement on
+    # every CI-sized database
+    if st.n_fit < 2000:
+        return st
+    T0, T1, c0, c1 = float(T0), float(T1), float(c0), float(c1)
+    if T1 < 0 or T1 - T0 < 3:       # sentinel / degenerate spread
+        return st
+    ex = np.asarray(exclude_scores, np.float64) \
+        if exclude_scores is not None and len(exclude_scores) else \
+        np.zeros(0, np.float64)
+    ex = ex[ex >= 0]
+    h0 = float((ex >= T0).sum())
+    h1 = float((ex >= T1).sum())
+    s_k = float(ex.min()) if ex.size else float("inf")
+    lam_t = st.lam
+    for _ in range(6):
+        def chance(T, c_raw, h):
+            if not math.isfinite(s_k) or s_k <= T:
+                # no hits at all (tail unobstructed), or every removed
+                # hit sits below T (nothing to restore)
+                return c_raw - h
+            f = -math.expm1(-lam_t * (s_k - T))
+            return (c_raw - h) / max(f, 1e-9)
+        cc0, cc1 = chance(T0, c0, h0), chance(T1, c1, h1)
+        if cc1 < min_tail or cc0 <= cc1:
+            return st
+        lam_new = math.log(cc0 / cc1) / (T1 - T0)
+        # the genuine heavy-tail correction is 5-20%; a rate far from the
+        # variance-matched one is estimator noise, so clamp — the count
+        # ANCHOR below still calibrates the absolute level either way
+        lam_new = min(max(lam_new, st.lam / 1.5), st.lam * 1.5)
+        if abs(lam_new - lam_t) < 1e-6:
+            lam_t = lam_new
+            break
+        lam_t = lam_new
+    # keep (a, b); re-anchor so E_model(T1) == corrected chance count
+    cand = dataclasses.replace(
+        st, lam=lam_t, mu=st.mu + _GAMMA / st.lam - _GAMMA / lam_t)
+    e0 = float(cand.evalues(np.asarray([T1]), n_db, len_hist)[0])
+    if not (e0 > 0.0) or not math.isfinite(e0):
+        return st
+    target = cc1 * (n_db / max(st.n_fit, 1))
+    delta = math.log(target / e0) / lam_t
+    return dataclasses.replace(cand, a=cand.a + delta, mu=cand.mu + delta)
+
+
 def fit_gumbel(n_valid: int, score_sum: float, score_sumsq: float,
                exclude_scores=None) -> ScoreStats | None:
     """Pooled (no length trend) method-of-moments Gumbel fit — the

@@ -82,9 +82,13 @@ def pack_cache(tar_path: str, cache_dir: str | None = None) -> dict:
     """Archive a warmed compile cache into one gzip tarball — the analog
     of SHIPPING the reference's precompiled `sw.aocx`: a fresh deployment
     unpacks the artifact and skips the cold warmup ladder entirely
-    (measured on the v5e rig: first-ever serve warmup ~22 min cold vs
-    seconds-to-minutes with a primed cache, SCALING.md).  Returns
-    {"entries", "bytes", "tar"}."""
+    (measured on the v5e rig: zero recompiles after unpack; SCALING.md
+    round 5).  IMPORTANT: jax's cache-key fingerprint includes the
+    compilation-cache-dir config, so the artifact must be unpacked into
+    the SAME configured directory path on the target machine (the
+    default ~/.cache/oswald-tpu/xla ships cleanly between machines;
+    unpacking into a different path silently recompiles everything —
+    measured).  Returns {"entries", "bytes", "tar"}."""
     import tarfile
     d = cache_dir or _enabled_dir or default_cache_dir()
     if not os.path.isdir(d):

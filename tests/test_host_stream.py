@@ -266,3 +266,24 @@ def test_dist_host_stream_batch(rng):
     for rb, rs in zip(batched, seq_res):
         np.testing.assert_array_equal(rb.scores, rs.scores)
         np.testing.assert_array_equal(rb.seq_ids, rs.seq_ids)
+
+
+def test_planner_budgets_engine_pad_quanta(rng):
+    """ADVICE r4: the planner must budget the ENGINE'S effective padded
+    rows, not the default formula — an engine configured with a coarser
+    query_pad_quantum allocates more scan state than the default pad
+    would, and the plan must reserve for it."""
+    from oswald_tpu.engine import SearchConfig
+    db = _make_db(rng, 1100, 100)
+    base = plan_profile_mode(db, hbm_bytes=None, max_query_len=5478)
+    coarse = plan_profile_mode(
+        db, hbm_bytes=None, max_query_len=5478,
+        config=SearchConfig(query_pad_quantum=1024))
+    # titin pads to 6144 rows at quantum 1024 vs 5632 default
+    assert coarse.state_bytes > base.state_bytes
+    # and the pack-row budget is a floor for short-cap engines
+    short = plan_profile_mode(
+        db, hbm_bytes=None, max_query_len=64,
+        config=SearchConfig(batch_query_pack_rows=1024))
+    plain = plan_profile_mode(db, hbm_bytes=None, max_query_len=64)
+    assert short.state_bytes >= plain.state_bytes

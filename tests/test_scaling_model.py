@@ -54,8 +54,9 @@ def test_model_reproduces_mesh1_and_projects(rng):
     assert p.t_proj_s[8] < p.t_proj_s[1]
     assert p.efficiency[8] > p.efficiency[64] > p.efficiency[256]
     assert 0 < p.efficiency[256] < p.efficiency[8] <= 1.0
-    # payload: 8*(k+2) bytes per shard, (N-1) per device on the ring
-    assert p.ag_bytes_per_dev[8] == 8 * 12 * 7
+    # payload: 8*(k+MOM_COLS) bytes per shard, (N-1)/device on the ring
+    from oswald_tpu.engine.search import MOM_COLS
+    assert p.ag_bytes_per_dev[8] == 8 * (10 + MOM_COLS) * 7
     # inflation is exactly the re-cut geometry's sharded cells over the
     # single-chip cells
     from oswald_tpu.dist.repack import group_geometry
