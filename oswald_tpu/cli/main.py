@@ -74,6 +74,11 @@ def _add_engine_args(sp):
     sp.add_argument("--col-unroll", type=int, default=32,
                     help="DP columns per kernel loop iteration (kernel "
                          "geometry; see `oswald-tpu tune`)")
+    sp.add_argument("--stream-window", type=int, default=4,
+                    help="pipelined-stream readback window: queries whose "
+                         "packed outputs share one device->host transfer "
+                         "(--no-batch / search_stream; 1 = one readback "
+                         "per query)")
 
 
 def _add_cache_args(sp):
@@ -232,6 +237,7 @@ def _build_engine(args):
                            group_block=args.group_block,
                            col_unroll=args.col_unroll,
                            profile_mode=args.profile_mode,
+                           stream_readback_window=args.stream_window,
                            max_query_len=args.max_query_len,
                            hbm_budget_bytes=args.hbm_budget_mb << 20
                            if args.hbm_budget_mb else None)

@@ -492,42 +492,58 @@ class DistributedSearchEngine:
         self._bin_fns[key] = fn
         return fn
 
-    def _host_stream_candidates(self, qb, k: int, nbs=None):
-        """[Q, ncand] (scores, ids) candidate arrays from one streaming
-        sweep of the database, double-buffered: slice i+1's sharded
+    def _host_stream_candidates_multi(self, classes, k: int):
+        """ONE streaming sweep of the database for SEVERAL query classes
+        at once (the dist analog of SearchEngine._host_stream_scores_multi
+        — the batched path used to sweep once per padded-length class):
+        every slice is transferred once, scanned by each class's
+        shard_map programs, double-buffered — slice i+1's sharded
         transfer is enqueued before slice i's compute dispatch, and the
-        host blocks only on slice i-1's (k-sized) candidate readback — at
-        most two slices plus one program's scan state occupy HBM at any
-        point, regardless of database size (the reference's bounded
-        per-chunk clEnqueueWriteBuffer round, FPGAsearch.c:180-237)."""
-        Q = qb.shape[0]
-        if nbs is not None:
-            nbs = jnp.asarray(nbs, jnp.int32)
-        cand_s, cand_i = [], []
-        msum = msumsq = mslnl = np.zeros(Q, np.float64)
+        host blocks only on slice i-1's (k-sized) candidate readbacks —
+        at most two slices plus scan state occupy HBM at any point,
+        regardless of database size (the reference's bounded per-chunk
+        clEnqueueWriteBuffer round, FPGAsearch.c:180-237).
 
-        def _drain(packed):
-            nonlocal msum, msumsq, mslnl
-            arr = np.asarray(packed)            # [2, Q, kk+MOM_COLS]
-            mom = np.ascontiguousarray(arr[..., -MOM_COLS:]) \
-                .view(np.float32).astype(np.float64)
-            msum = msum + mom[0, :, 0]
-            msumsq = msumsq + mom[0, :, 1]
-            mslnl = mslnl + mom[0, :, 2]
-            cand_s.append(arr[0, :, :-MOM_COLS])
-            cand_i.append(arr[1, :, :-MOM_COLS])
+        classes: [(qb [Q, m_pad], nbs | None)]; returns one
+        (cand_scores [Q, ncand], cand_ids [Q, ncand], mom) per class."""
+        cls = [(jnp.asarray(qb),
+                None if nbs is None else jnp.asarray(nbs, jnp.int32))
+               for qb, nbs in classes]
+        outs = [([], [], np.zeros(int(qb.shape[0]), np.float64).copy(),
+                 np.zeros(int(qb.shape[0]), np.float64),
+                 np.zeros(int(qb.shape[0]), np.float64))
+                for qb, _ in cls]
+
+        def dispatch(dev, L, Gs):
+            res = []
+            for ci, (qb, nbs) in enumerate(cls):
+                args = (qb,) + (() if nbs is None else (nbs,))
+                res.append((ci, self._hostslice_fn(
+                    L, Gs, k, nbs is not None)(
+                        *args, self.gaps, self.submat_dev, dev[0], dev[1],
+                        self.lnl_table)))
+            return res
+
+        def drain(res):
+            for ci, packed in res:
+                arr = np.asarray(packed)        # [2, Q, kk+MOM_COLS]
+                mom = np.ascontiguousarray(arr[..., -MOM_COLS:]) \
+                    .view(np.float32).astype(np.float64)
+                cand_s, cand_i, msum, msumsq, mslnl = outs[ci]
+                msum += mom[0, :, 0]
+                msumsq += mom[0, :, 1]
+                mslnl += mom[0, :, 2]
+                cand_s.append(arr[0, :, :-MOM_COLS])
+                cand_i.append(arr[1, :, :-MOM_COLS])
 
         if not self.config.host_stream_overlap:
-            # forced-serial A/B reference (see SearchConfig): block on each
-            # slice's transfer and candidates before the next transfer —
-            # no link/compute overlap; identical results
+            # forced-serial A/B reference (see SearchConfig): block on
+            # each slice's transfer and candidates before the next
+            # transfer — no link/compute overlap; identical results
             for L, lo, Gs in self._hs_slices:
                 dev = self._hs_transfer(L, lo, Gs)
                 jax.block_until_ready(dev)
-                args = (qb,) + (() if nbs is None else (nbs,))
-                _drain(self._hostslice_fn(L, Gs, k, nbs is not None)(
-                    *args, self.gaps, self.submat_dev, dev[0], dev[1],
-                    self.lnl_table))
+                drain(dispatch(dev, L, Gs))
         else:
             pending = None
             nxt = self._hs_transfer(*self._hs_slices[0]) \
@@ -536,27 +552,34 @@ class DistributedSearchEngine:
                 dev = nxt
                 nxt = self._hs_transfer(*self._hs_slices[i + 1]) \
                     if i + 1 < len(self._hs_slices) else None
-                args = (qb,) + (() if nbs is None else (nbs,))
-                packed = self._hostslice_fn(L, Gs, k, nbs is not None)(
-                    *args, self.gaps, self.submat_dev, dev[0], dev[1],
-                    self.lnl_table)
+                res = dispatch(dev, L, Gs)
                 if pending is not None:
-                    # blocking readback of slice i-1 (ONE packed transfer):
-                    # the backpressure that bounds in-flight slices (and
-                    # frees HBM)
-                    _drain(pending)
-                pending = packed
+                    # blocking readback of slice i-1 (ONE packed transfer
+                    # per class): the backpressure that bounds in-flight
+                    # slices (and frees HBM)
+                    drain(pending)
+                pending = res
             if pending is not None:
-                _drain(pending)
-        # per-slice programs cannot see the whole database: sentinel T1
-        # (no tail payload) keeps the moment-only fit for dist host_stream
-        mom = (msum, msumsq, mslnl, np.full(Q, -1.0), np.zeros(Q),
-               np.zeros(Q), np.full(Q, -1.0))
-        if not cand_s:
-            return (np.zeros((Q, 0), np.int32), np.zeros((Q, 0), np.int32),
-                    mom)
-        return (np.concatenate(cand_s, axis=1),
-                np.concatenate(cand_i, axis=1), mom)
+                drain(pending)
+        results = []
+        for (qb, _), (cand_s, cand_i, msum, msumsq, mslnl) \
+                in zip(cls, outs):
+            Q = int(qb.shape[0])
+            # per-slice programs cannot see the whole database: sentinel
+            # T1 (no tail payload) keeps the moment-only fit here
+            mom = (msum, msumsq, mslnl, np.full(Q, -1.0), np.zeros(Q),
+                   np.zeros(Q), np.full(Q, -1.0))
+            if not cand_s:
+                results.append((np.zeros((Q, 0), np.int32),
+                                np.zeros((Q, 0), np.int32), mom))
+            else:
+                results.append((np.concatenate(cand_s, axis=1),
+                                np.concatenate(cand_i, axis=1), mom))
+        return results
+
+    def _host_stream_candidates(self, qb, k: int, nbs=None):
+        """Single-class wrapper of _host_stream_candidates_multi."""
+        return self._host_stream_candidates_multi([(qb, nbs)], k)[0]
 
     def _merge_candidates(self, scores, ids, k: int):
         """Deterministic host merge of one query's candidate union: score
@@ -1115,19 +1138,28 @@ class DistributedSearchEngine:
         for i in rest:
             by_len.setdefault(padded[i].shape[0], []).append(i)
         u = self.config.u_rows
+        class_args = {}
         for m_pad, idxs in by_len.items():
             qb = jnp.asarray(np.stack([padded[i] for i in idxs]))
             nb_l = [nb_of(np.asarray(queries[i]).size, u) for i in idxs]
             nbs = None if all(b * u >= m_pad for b in nb_l) else \
                 jnp.asarray(nb_l, jnp.int32)
+            class_args[m_pad] = (qb, nbs)
+        if self.mode == "host_stream" and class_args:
+            # ONE streaming sweep of the database scores EVERY padded-
+            # length class (each transferred slice is scanned by every
+            # class's shard_map programs before the next replaces it);
+            # the sweep's readback loop is its own backpressure, so these
+            # candidates are already host-side
+            keys = sorted(class_args)
+            sweeps = self._host_stream_candidates_multi(
+                [class_args[m] for m in keys], k)
+            for m_pad, (cs, ci, mom) in zip(keys, sweeps):
+                pending.append((by_len[m_pad], None, cs, ci, mom))
+        for m_pad, idxs in by_len.items():
             if self.mode == "host_stream":
-                # one streaming sweep of the database scores the whole
-                # same-length batch (transfer cost amortised over queries);
-                # the sweep's readback loop is its own backpressure, so
-                # these candidates are already host-side
-                cs, ci, mom = self._host_stream_candidates(qb, k, nbs)
-                pending.append((idxs, None, cs, ci, mom))
                 continue
+            qb, nbs = class_args[m_pad]
             cands = []
             for L in self.db.bin_lengths:
                 data = (self.prof_flat, self._bin_tail(L)) if \

@@ -92,7 +92,7 @@ def main():
         q_pad = jnp.asarray(eng._pad_query(q))
         if eng.mode == "precompute" and q_pad.shape[0] <= 128:
             f = eng._search_fn(k)
-            stacks = (eng.prof_flat, eng.tail_flat)
+            stacks = (eng.prof_flat, eng.tail_flats)
             # nb=None: these qlens fill their pad class (branch-free
             # kernel variant; see sw_chunk n_blocks)
             args_f = (q_pad, None, eng.gaps, eng.submat_dev, stacks,
@@ -113,7 +113,7 @@ def main():
     for q in qs[:1]:
         eng.search(q)                       # compile
     f = eng._search_fn(k)
-    stacks = (eng.prof_flat, eng.tail_flat)
+    stacks = (eng.prof_flat, eng.tail_flats)
 
     def pipelined():
         outs = [f(jnp.asarray(eng._pad_query(q)), None, eng.gaps,
