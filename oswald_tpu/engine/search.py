@@ -1216,8 +1216,17 @@ class SearchEngine:
         compiled buffer shapes stay ~2.  Returns the per-span id rows for
         ids_flat (slot order matches the span score layout)."""
         gb = self.config.group_block
-        budget = self.config.host_stream_slice_mb << 20
         lanes = SUBLANES * LANES
+        conf = self.config.host_stream_slice_mb << 20
+        total = sum(int(self.db.bins[L]["seq"].shape[0]) * L * lanes
+                    for L in self.db.bin_lengths)
+        # adaptive budget: aim for >= ~8 slices so the double buffer has
+        # something to overlap (a database smaller than the configured
+        # budget would otherwise coalesce into ONE slice — no pipeline),
+        # floored at 16 MiB so per-transfer overhead stays amortised; an
+        # explicitly smaller configured budget is always honored
+        budget = min(conf, max(-(-total // 8), 1))
+        budget = max(budget, min(conf, 16 << 20))
         slices, cur, cur_bytes = [], [], 0
         ids_out = []
 

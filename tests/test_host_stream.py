@@ -287,3 +287,17 @@ def test_planner_budgets_engine_pad_quanta(rng):
         config=SearchConfig(batch_query_pack_rows=1024))
     plain = plan_profile_mode(db, hbm_bytes=None, max_query_len=64)
     assert short.state_bytes >= plain.state_bytes
+
+
+def test_host_stream_adaptive_slice_budget(rng):
+    """A database smaller than the configured slice budget must still cut
+    into multiple slices (the double buffer needs >= 2 to overlap) — the
+    round-5 adaptive budget aims for ~8; an explicitly smaller configured
+    budget is honored as-is."""
+    db = _make_db(rng, 60000, 800)          # ~30+ MB packed
+    hs = SearchEngine(db, SearchConfig(profile_mode="host_stream",
+                                       host_stream_slice_mb=256))
+    assert len(hs._hs_slices) >= 2, hs._hs_slices
+    tiny = SearchEngine(db, SearchConfig(profile_mode="host_stream",
+                                         host_stream_slice_mb=1))
+    assert len(tiny._hs_slices) > len(hs._hs_slices)
