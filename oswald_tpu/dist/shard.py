@@ -399,7 +399,12 @@ class DistributedSearchEngine:
         ndev * group_block so it shards evenly and every shard's group
         count stays a group_block multiple); the packed residues stay in
         the mmap-backed storage arrays and only slice-sized windows ever
-        occupy host RAM or HBM.  Per search the slices are transferred
+        occupy host RAM or HBM.  Slices here stay per-bin (unlike the
+        single-chip engine's round-5 cross-bin flat buffers) BY DESIGN:
+        the mesh-adaptive re-cut (dist/repack.py) has already merged
+        bins to the pod's quanta — at N=8 the bench db has ~13 bins, at
+        N=64 three — so per-bin slices are already hundreds of MB and
+        per-transfer overhead is amortised without a second layout.  Per search the slices are transferred
         device-sharded and double-buffered under compute
         (_host_stream_candidates)."""
         self._hs_slices = []        # (L, lo, Gs_glob) in bin order
