@@ -46,11 +46,8 @@ import numpy as np
 
 from oswald_tpu.alphabet import DUMMY
 from oswald_tpu.io.db import (PackedDB, SUBLANES, LANES, GROUP_LANES,
-                              LENGTH_QUANTUM, _BIN_COST_RESIDUES)
-
-
-def _round_up(x: int, q: int) -> int:
-    return -(-x // q) * q
+                              LENGTH_QUANTUM, _BIN_COST_RESIDUES,
+                              _round_up)
 
 
 # above this group count the exact O(G^2) DP switches to a restricted
@@ -85,7 +82,11 @@ def mesh_bin_plan(group_Ls, quanta: int, bin_cost: int = _BIN_COST_RESIDUES):
         cand = np.arange(G + 1)
     else:
         runs = np.flatnonzero(np.diff(Ls)) + 1
-        grid = np.arange(0, G + 1, quanta)
+        # coarsen the quanta grid so the candidate count (and the
+        # quadratic DP) stays bounded on huge databases: step up in
+        # whole quanta, capped at ~8k grid points
+        step = _round_up(max(quanta, -(-G // 8192)), quanta)
+        grid = np.arange(0, G + 1, step)
         cand = np.unique(np.concatenate([[0], runs, grid, [G]]))
     # DP over candidate cut positions (vectorised over predecessors)
     nc = cand.size

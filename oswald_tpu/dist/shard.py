@@ -514,7 +514,7 @@ class DistributedSearchEngine:
         cls = [(jnp.asarray(qb),
                 None if nbs is None else jnp.asarray(nbs, jnp.int32))
                for qb, nbs in classes]
-        outs = [([], [], np.zeros(int(qb.shape[0]), np.float64).copy(),
+        outs = [([], [], np.zeros(int(qb.shape[0]), np.float64),
                  np.zeros(int(qb.shape[0]), np.float64),
                  np.zeros(int(qb.shape[0]), np.float64))
                 for qb, _ in cls]

@@ -186,10 +186,12 @@ class SearchConfig:
             raise ValueError(
                 f"profile_mode must be 'auto', 'precompute', 'stream' or "
                 f"'host_stream', got {self.profile_mode!r}")
-        if self.host_stream_slice_mb < 1:
+        if not (1 <= self.host_stream_slice_mb <= 2048):
             raise ValueError(
-                f"host_stream_slice_mb must be >= 1, got "
-                f"{self.host_stream_slice_mb!r}")
+                f"host_stream_slice_mb must be in [1, 2048], got "
+                f"{self.host_stream_slice_mb!r} (span byte offsets are "
+                "int32 device operands, so a slice buffer must stay "
+                "under 2 GiB)")
         if not (isinstance(self.stream_readback_window, int) and
                 self.stream_readback_window >= 1):
             raise ValueError(
@@ -283,7 +285,7 @@ def _db_len_stats(db):
 
 
 # packed trailing moment columns: [sum, sumsq, slnl, T1] row 0 and
-# [c1, tailsum, 0, 0] row 1 (bitcast float32) — score moments for the
+# [c0, c1, T0, 0] row 1 (bitcast float32) — score moments for the
 # length-regressed fit plus the censored tail summary for the round-5
 # lambda recalibration (stats.tail_calibrate).  T1 = -1 is the sentinel
 # for paths that cannot see the whole database in one program (per-bin
@@ -764,15 +766,19 @@ def _split_packed(arr, widths):
     candidate arrays ([2, W] or [2, Q, W] int32, each contributing
     widths[i] columns whose last MOM_COLS columns are its bitcast
     moments — see _append_moments) into (scores, ids, mom): candidates
-    re-concatenated without the moments columns; additive moments (sum,
-    sumsq, slnl, c1, tailsum) summed over segments; T1 taken from the
-    LAST segment carrying a non-sentinel value (a fused program emits
-    one segment, so this is exact; per-bin distributed programs emit the
-    sentinel -1 in every segment — no whole-database threshold exists
-    there — which keeps the moment-only fit)."""
+    re-concatenated without the moments columns; the SCORE moments (sum,
+    sumsq, slnl) sum over segments; the tail payload (T1, c0, c1, T0)
+    is NOT additive (counts are relative to a segment's own thresholds)
+    and is taken from the single non-sentinel segment when one exists —
+    at most one can: only a whole-database program emits it (the fused
+    path emits exactly one segment; per-bin distributed programs emit
+    the sentinel -1 in every segment, keeping the moment-only fit).
+    Callers composing MULTIPLE whole-database segments would need a
+    different aggregation — assert-guarded below."""
     s_parts, i_parts = [], []
     msum = msumsq = mslnl = 0.0
     t1, c0, c1, t0 = -1.0, 0.0, 0.0, -1.0
+    tail_seen = False
     off = 0
     for w in widths:
         seg = arr[..., off:off + w]
@@ -784,6 +790,9 @@ def _split_packed(arr, widths):
         if np.all(mom[0, ..., 3] >= 0):
             # the one whole-database segment (fused dispatch) carries the
             # tail summary; per-bin segments all emit the sentinel
+            assert not tail_seen, \
+                "multiple tail-bearing segments cannot be aggregated"
+            tail_seen = True
             t1, c0, c1, t0 = (mom[0, ..., 3], mom[1, ..., 0],
                               mom[1, ..., 1], mom[1, ..., 2])
         s_parts.append(seg[0, ..., :-MOM_COLS])

@@ -220,8 +220,10 @@ def tail_calibrate(st: ScoreStats | None, n_db: int, len_hist, T0, T1,
     e0 = float(cand.evalues(np.asarray([T1]), n_db, len_hist)[0])
     if not (e0 > 0.0) or not math.isfinite(e0):
         return st
-    target = cc1 * (n_db / max(st.n_fit, 1))
-    delta = math.log(target / e0) / lam_t
+    # cc1 already estimates whole-database chance exceedances (the raw
+    # counts cover all n_db sequences and the F-division restores the
+    # censored mass above s_k) — no n_db/n_fit rescale
+    delta = math.log(cc1 / e0) / lam_t
     return dataclasses.replace(cand, a=cand.a + delta, mu=cand.mu + delta)
 
 
