@@ -261,3 +261,21 @@ def test_cli_cache_pack_unpack(tmp_path, capsys):
                      "--compile-cache", str(src)]) == 2
     assert cli_main(["cache", "pack", tar,
                      "--compile-cache", str(tmp_path / "nope")]) == 2
+
+
+def test_cache_unpack_rejects_path_escape(tmp_path):
+    """A hostile cache tarball with ../ members must be rejected, not
+    written outside the cache dir."""
+    import tarfile
+    import io as _io
+    import pytest
+    from oswald_tpu.utils.compile_cache import unpack_cache
+    tar = tmp_path / "evil.tar.gz"
+    with tarfile.open(tar, "w:gz") as tf:
+        data = b"pwned"
+        info = tarfile.TarInfo("../escape.bin")
+        info.size = len(data)
+        tf.addfile(info, _io.BytesIO(data))
+    with pytest.raises(ValueError, match="unsafe path"):
+        unpack_cache(str(tar), str(tmp_path / "cache"))
+    assert not (tmp_path / "escape.bin").exists()
