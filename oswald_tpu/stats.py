@@ -222,8 +222,22 @@ def tail_calibrate(st: ScoreStats | None, n_db: int, len_hist, T0, T1,
         return st
     # cc1 already estimates whole-database chance exceedances (the raw
     # counts cover all n_db sequences and the F-division restores the
-    # censored mass above s_k) — no n_db/n_fit rescale
-    delta = math.log(cc1 / e0) / lam_t
+    # censored mass above s_k) — no n_db/n_fit rescale.  The shift is a
+    # fixed-point iteration, not one log-linear solve: at p ~ 1e-2 the
+    # exact Gumbel tail curves away from the pure exponential enough to
+    # leave a few-percent anchoring error after a single step.
+    delta = 0.0
+    e_cur = e0
+    for _ in range(8):
+        delta += math.log(cc1 / e_cur) / lam_t
+        shifted = dataclasses.replace(cand, a=cand.a + delta,
+                                      mu=cand.mu + delta)
+        e_cur = float(shifted.evalues(np.asarray([T1]), n_db,
+                                      len_hist)[0])
+        if not (e_cur > 0.0) or not math.isfinite(e_cur):
+            return st
+        if abs(math.log(cc1 / e_cur)) < 1e-9:
+            break
     return dataclasses.replace(cand, a=cand.a + delta, mu=cand.mu + delta)
 
 

@@ -127,3 +127,37 @@ def test_distributed_results_identical_through_merge(rng):
         rs, rd = se.search(q), de.search(q)
         np.testing.assert_array_equal(rs.scores, rd.scores)
         np.testing.assert_array_equal(rs.seq_ids, rd.seq_ids)
+
+
+def test_merged_view_index_edges(rng):
+    arr = rng.integers(0, 24, size=(3, 64, SUBLANES, LANES)).astype(np.int8)
+    view = _MergedGroups([(arr, 64)], 96)
+    # negative index
+    np.testing.assert_array_equal(view[-1][:64], arr[2])
+    assert (np.asarray(view[-1][64:]) == DUMMY).all()
+    import pytest
+    with pytest.raises(IndexError):
+        view[3]
+    with pytest.raises(IndexError):
+        view[::2]
+
+
+def test_mesh_bin_plan_restricted_near_optimal(monkeypatch, rng):
+    """Past _EXACT_DP_MAX_GROUPS the candidate-restricted DP must land
+    within a fraction of a percent of the exact optimum."""
+    import oswald_tpu.dist.repack as rp
+    G = 22000
+    # realistic shape: ~30 quantised length levels, ascending
+    levels = np.sort(rng.choice(np.arange(2, 60) * 32, size=30,
+                                replace=False))
+    counts = rng.integers(200, 1200, size=30)
+    counts = (counts * (G / counts.sum())).astype(int)
+    counts[-1] += G - counts.sum()
+    Ls = np.repeat(levels, counts)
+    quanta = 16
+    plan_r = rp.mesh_bin_plan(Ls, quanta)           # restricted (G > 20k)
+    cost_r = rp.plan_sharded_cells(Ls, quanta, plan_r)
+    monkeypatch.setattr(rp, "_EXACT_DP_MAX_GROUPS", 10**9)
+    plan_e = rp.mesh_bin_plan(Ls, quanta)           # exact
+    cost_e = rp.plan_sharded_cells(Ls, quanta, plan_e)
+    assert cost_e <= cost_r <= cost_e * 1.005, (cost_r, cost_e)

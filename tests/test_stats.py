@@ -194,3 +194,36 @@ def test_cli_histogram(tmp_path, rng, capsys):
                  "--devices", "1"]) == 0
     out = capsys.readouterr().out
     assert "score  obs" in out and "obs 120 seqs" in out
+
+
+def test_tail_calibrate_fallbacks_and_clamp():
+    """tail_calibrate contract: sentinel/small-db/thin-tail inputs return
+    the MoM fit unchanged; extreme count ratios clamp lambda to within
+    1.5x of the MoM value; a clean calibration anchors E(T1) to the
+    observed count."""
+    from oswald_tpu.stats import tail_calibrate, ScoreStats
+    st = ScoreStats(n_fit=5000, mean=20.0, var=13.0, lam=0.35,
+                    a=7.0, b=3.6, mu=18.35)
+    hist = (np.array([200]), np.array([5000]))
+    # sentinel
+    assert tail_calibrate(st, 5000, hist, -1.0, -1.0, 0, 0) is st
+    # small database floor
+    small = ScoreStats(n_fit=700, mean=20.0, var=13.0, lam=0.35,
+                       a=7.0, b=3.6, mu=18.35)
+    assert tail_calibrate(small, 700, hist, 25.0, 30.0, 70, 20) is small
+    # thin tail
+    assert tail_calibrate(st, 5000, hist, 25.0, 30.0, 500, 5) is st
+    # degenerate spread
+    assert tail_calibrate(st, 5000, hist, 29.0, 30.0, 500, 50) is st
+    # extreme ratio: ln(5000/16)/10 = 0.575 > 0.35*1.5 -> clamps
+    out = tail_calibrate(st, 5000, hist, 25.0, 35.0, 5000, 16)
+    assert out is not st
+    assert abs(out.lam - 0.35 * 1.5) < 1e-9
+    # clean calibration: anchored E(T1) equals the observed chance count
+    out2 = tail_calibrate(st, 5000, hist, 25.0, 35.0, 500, 50)
+    assert out2 is not st and out2.lam != st.lam
+    e_t1 = float(out2.evalues(np.array([35.0]), 5000, hist)[0])
+    np.testing.assert_allclose(e_t1, 50.0, rtol=1e-6)
+    # E-values remain monotone nonincreasing in score
+    ev = out2.evalues(np.array([30.0, 35.0, 40.0, 50.0]), 5000, hist)
+    assert np.all(np.diff(ev) <= 0)
